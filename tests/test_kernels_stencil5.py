@@ -1,0 +1,135 @@
+"""STENCIL5 Pallas kernel correctness.
+
+The oracle discipline mirrors the reference (SURVEY.md §4): a dense/numpy reference is the
+oracle for the XLA formulation, the XLA formulation is the oracle for the Pallas kernel
+(generic-validates-specialized, test_wrapper_basic.cpp:159-193 does CSR-vs-STENCIL5 at 1e-12),
+and everything is cross-checked in f64.  Pallas runs in interpret mode on the CPU backend —
+the TPU analog of running real kernels in CI without a GPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse import formats, generate
+from tpusparse.kernels.stencil5 import (
+    spmv_stencil5_const_pallas,
+    spmv_stencil5_pallas,
+    spmv_stencil5_xla,
+)
+
+from . import fixtures
+
+GRIDS = [1, 2, 3, 5, 8, 13, 16, 31]
+
+
+def _setup(g, seed=0):
+    st = generate.make_stencil5(g)
+    dense = fixtures.spd_stencil_csr(g).to_dense()
+    x = np.random.RandomState(seed).randn(g * g)
+    return st, dense, x, dense @ x
+
+
+@pytest.mark.parametrize("g", GRIDS)
+def test_xla_matches_dense(g):
+    st, dense, x, y_ref = _setup(g)
+    y = spmv_stencil5_xla(jnp.asarray(st.planes), jnp.asarray(x.reshape(g, g)))
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("g", GRIDS)
+@pytest.mark.parametrize("block_rows", [0, 8])
+def test_pallas_matches_dense_f64(g, block_rows):
+    st, dense, x, y_ref = _setup(g)
+    y = spmv_stencil5_pallas(
+        jnp.asarray(st.planes), jnp.asarray(x.reshape(g, g)),
+        block_rows=block_rows, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("g", [13, 16])
+def test_pallas_fused_dot(g):
+    st, dense, x, y_ref = _setup(g)
+    y, dot = spmv_stencil5_pallas(
+        jnp.asarray(st.planes), jnp.asarray(x.reshape(g, g)),
+        with_dot=True, block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12)
+    np.testing.assert_allclose(float(dot), float(x @ y_ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize("g", GRIDS)
+def test_const_pallas_matches_values_pallas(g):
+    """Constant-coefficient fast path ≡ values-carrying kernel (specialized vs generic)."""
+    st, dense, x, y_ref = _setup(g)
+    y = spmv_stencil5_const_pallas(
+        jnp.asarray(x.reshape(g, g)), diag=5.0, offdiag=-1.0, block_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_nonconstant_coefficients():
+    """The values-carrying kernel supports arbitrary coefficient fields (parity with the
+    reference which always loads values[], spmv_stencil_csr_direct.cu:105-109)."""
+    g = 11
+    st = generate.make_stencil5(g)
+    rs = np.random.RandomState(3)
+    # random coefficients, but zero where a neighbor is off-grid
+    mask = st.planes != 0.0
+    st.planes = np.where(mask, rs.randn(*st.planes.shape), 0.0)
+    dense = formats.stencil5_to_csr(st).to_dense()
+    x = rs.randn(g * g)
+    y_ref = dense @ x
+    y = spmv_stencil5_pallas(
+        jnp.asarray(st.planes), jnp.asarray(x.reshape(g, g)), block_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_halo_rows_used():
+    """Sharded-band semantics: with halo rows supplied, boundary rows see neighbor data.
+    Emulates the reference's partitioned halo kernel contract
+    (spmv_stencil_partitioned_halo_kernel.cu:17-98)."""
+    g = 12
+    band = 4  # rows 4..7 of the global grid
+    st = generate.make_stencil5(g)
+    x = np.random.RandomState(5).randn(g, g)
+    dense = fixtures.spd_stencil_csr(g).to_dense()
+    y_ref = (dense @ x.ravel()).reshape(g, g)
+
+    planes_band = jnp.asarray(st.planes[:, 4:8, :])
+    xb = jnp.asarray(x[4:8])
+    hp = jnp.asarray(x[3:4])
+    hn = jnp.asarray(x[8:9])
+    y = spmv_stencil5_pallas(planes_band, xb, hp, hn, block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref[4:8], rtol=1e-12, atol=1e-12)
+
+    # const variant with row_offset
+    yc = spmv_stencil5_const_pallas(
+        xb, hp, hn, diag=5.0, offdiag=-1.0, grid_rows_total=g, row_offset=4,
+        block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(yc), y_ref[4:8], rtol=1e-12, atol=1e-12)
+
+
+def test_ones_checksum_oracle():
+    g = 31
+    st = generate.make_stencil5(g)
+    y = spmv_stencil5_pallas(
+        jnp.asarray(st.planes), jnp.ones((g, g), jnp.float64), interpret=True
+    )
+    s, n2 = generate.stencil5_spmv_checksums(g)
+    np.testing.assert_allclose(float(jnp.sum(y)), s, rtol=1e-13)
+    np.testing.assert_allclose(float(jnp.linalg.norm(y.ravel())), n2, rtol=1e-13)
+
+
+def test_f32_tolerance():
+    """f32 path (the TPU performance dtype) within relaxed tolerance of the f64 oracle —
+    the tolerance-tier discipline of the reference (cuda_test_utils.hpp:48-59)."""
+    g = 16
+    st, dense, x, y_ref = _setup(g)
+    y = spmv_stencil5_pallas(
+        jnp.asarray(st.planes, jnp.float32), jnp.asarray(x.reshape(g, g), jnp.float32),
+        block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=2e-5, atol=2e-5)

@@ -1,0 +1,198 @@
+"""JSON/CSV result exporters.
+
+Schema parity with the reference (SURVEY.md §2.5): SpMV JSON has gpu/system provenance,
+benchmark{matrix{}, performance{}, analysis{}, validation{sum_y, norm2_y}}
+(spmv_metrics.cu:190-276); CG JSON has timestamp, solver, mode, matrix{}, convergence{},
+timing{}, statistics{}, performance{}, validation{} (cg_metrics.cu:20-150).  CSV is append-mode
+with a header-once flag (cg_metrics.cu:155-185).  Field names kept compatible where sensible so
+the reference's jq/grep-based aggregation scripts port over.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import datetime
+import json
+import os
+from typing import Any, Dict, Optional
+
+from .metrics import SpmvMetrics
+from .stats import BenchmarkStats
+
+
+def _now_iso() -> str:
+    return datetime.datetime.now().astimezone().isoformat(timespec="seconds")
+
+
+def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
+                     stats: BenchmarkStats, sysinfo: Dict[str, Any],
+                     sum_y: float, norm2_y: float) -> Dict[str, Any]:
+    return {
+        "timestamp": _now_iso(),
+        "benchmark_type": "spmv",
+        "device": sysinfo,
+        "benchmark": {
+            "mode": mode,
+            "matrix": {
+                "name": matrix_name,
+                "rows": op.num_rows,
+                "cols": op.num_cols,
+                "nnz": op.nnz,
+                "grid_size": op.grid_size,
+            },
+            "performance": {
+                "time_median_ms": stats.median_ms,
+                "time_mean_ms": stats.mean_ms,
+                "time_std_ms": stats.std_ms,
+                "time_min_ms": stats.min_ms,
+                "time_max_ms": stats.max_ms,
+                "gflops": metrics.gflops,
+                "bandwidth_gbs": metrics.bandwidth_gbs,
+                "roofline_fraction": metrics.roofline_fraction,
+                "dtype": metrics.dtype,
+            },
+            "statistics": {
+                "total_runs": stats.total_runs,
+                "valid_runs": stats.valid_runs,
+                "outliers_removed": stats.outliers_removed,
+                "cv_percent": stats.cv_percent,
+            },
+            "analysis": {
+                "arithmetic_intensity": metrics.arithmetic_intensity,
+                "bound_classification": metrics.bound,
+                "bytes_per_spmv": metrics.bytes_moved,
+            },
+            "validation": {"sum_y": sum_y, "norm2_y": norm2_y},
+        },
+    }
+
+
+def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
+                   bench_stats: Optional[BenchmarkStats], sysinfo: Dict[str, Any],
+                   sum_x: float, norm2_x: float, gflops_spmv: float = 0.0,
+                   extra_timing: Optional[Dict[str, float]] = None) -> Dict[str, Any]:
+    timing = {
+        "total_median_ms": bench_stats.median_ms if bench_stats else cg_stats.total_time_ms,
+        "total_mean_ms": bench_stats.mean_ms if bench_stats else cg_stats.total_time_ms,
+        "total_min_ms": bench_stats.min_ms if bench_stats else cg_stats.total_time_ms,
+        "total_max_ms": bench_stats.max_ms if bench_stats else cg_stats.total_time_ms,
+        "total_std_ms": bench_stats.std_ms if bench_stats else 0.0,
+        "spmv_ms": cg_stats.spmv_time_ms,
+        "blas1_ms": cg_stats.blas1_time_ms,
+        "reductions_ms": cg_stats.reduction_time_ms,
+    }
+    if extra_timing:
+        timing.update(extra_timing)
+    return {
+        "timestamp": _now_iso(),
+        "benchmark_type": "cg",
+        "solver": solver,
+        "mode": mode,
+        "device": sysinfo,
+        "matrix": {
+            "name": matrix_name,
+            "rows": op.num_rows,
+            "cols": op.num_cols,
+            "nnz": op.nnz,
+            "grid_size": op.grid_size,
+        },
+        "convergence": {
+            "converged": bool(cg_stats.converged),
+            "iterations": int(cg_stats.iterations),
+            "residual_norm": float(cg_stats.residual_norm),
+            "relative_residual": float(cg_stats.relative_residual),
+        },
+        "timing": timing,
+        "statistics": (
+            {
+                "total_runs": bench_stats.total_runs,
+                "valid_runs": bench_stats.valid_runs,
+                "outliers_removed": bench_stats.outliers_removed,
+            }
+            if bench_stats
+            else {}
+        ),
+        "performance": {"gflops_spmv": gflops_spmv},
+        "validation": {"solution_sum": sum_x, "solution_norm": norm2_x},
+    }
+
+
+def write_json(path: str, result: Dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+
+
+def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in d.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "."))
+        elif isinstance(v, (list, tuple)):
+            continue
+        else:
+            out[key] = v
+    return out
+
+
+def append_csv(path: str, result: Dict[str, Any]) -> None:
+    """Append-mode CSV with header written once (reference cg_metrics.cu:155-185)."""
+    flat = _flatten(result)
+    exists = os.path.exists(path) and os.path.getsize(path) > 0
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "a", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(flat))
+        if not exists:
+            writer.writeheader()
+        writer.writerow(flat)
+
+
+def print_human_spmv(result: Dict[str, Any]) -> None:
+    """Human report with the reference's fixed sections (=== SpMV Performance Metrics ===,
+    === Output Checksum ===; SURVEY.md §5.5)."""
+    b = result["benchmark"]
+    p = b["performance"]
+    print("=== SpMV Performance Metrics ===")
+    print(f"Mode:                {b['mode']}")
+    m = b["matrix"]
+    print(f"Matrix:              {m['name']} ({m['rows']}x{m['cols']}, nnz={m['nnz']})")
+    print(f"Median time:         {p['time_median_ms']:.3f} ms "
+          f"(mean {p['time_mean_ms']:.3f} ± {p['time_std_ms']:.3f})")
+    print(f"Throughput:          {p['gflops']:.2f} GFLOPS")
+    print(f"Bandwidth:           {p['bandwidth_gbs']:.1f} GB/s "
+          f"({100 * p['roofline_fraction']:.1f}% of HBM roofline)")
+    a = b["analysis"]
+    print(f"Arithmetic intensity: {a['arithmetic_intensity']:.3f} FLOP/byte "
+          f"[{a['bound_classification']}]")
+    s = b["statistics"]
+    print(f"Runs:                {s['valid_runs']}/{s['total_runs']} valid "
+          f"({s['outliers_removed']} outliers removed)")
+    v = b["validation"]
+    print("=== Output Checksum ===")
+    print(f"Sum(y)   = {v['sum_y']:.16f}")
+    print(f"Norm2(y) = {v['norm2_y']:.16f}")
+
+
+def print_human_cg(result: Dict[str, Any]) -> None:
+    c = result["convergence"]
+    t = result["timing"]
+    print("=== CG Solver Results ===")
+    print(f"Solver:     {result['solver']}  (mode={result['mode']})")
+    m = result["matrix"]
+    print(f"Matrix:     {m['name']} ({m['rows']} unknowns, nnz={m['nnz']})")
+    print(f"Converged:  {'YES' if c['converged'] else 'NO'}")
+    print(f"Iterations: {c['iterations']}")
+    print(f"Residual:   {c['residual_norm']:e} (rel {c['relative_residual']:e})")
+    print(f"Time:       median {t['total_median_ms']:.2f} ms "
+          f"[min {t['total_min_ms']:.2f}, max {t['total_max_ms']:.2f}]")
+    if t.get("spmv_ms"):
+        tot = max(t["total_median_ms"], 1e-12)
+        print(f"  SpMV:     {t['spmv_ms']:.2f} ms ({100 * t['spmv_ms'] / tot:.0f}%)")
+        print(f"  BLAS1:    {t['blas1_ms']:.2f} ms ({100 * t['blas1_ms'] / tot:.0f}%)")
+    v = result["validation"]
+    print("=== Solution Checksum ===")
+    print(f"Sum(x)   = {v['solution_sum']:.16f}")
+    print(f"Norm2(x) = {v['solution_norm']:.16f}")

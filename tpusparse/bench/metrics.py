@@ -1,0 +1,133 @@
+"""Performance metrics: GFLOPS, byte models, HBM roofline fraction, bound classification.
+
+Parity with the reference's metrics calculator (src/spmv/spmv_metrics.cu):
+  - GFLOPS = 2·nnz / t                         (:63-65)
+  - format-specific byte models                (:76-95 — CSR: 8B val + 4B col + row_ptr + x + y)
+  - arithmetic intensity + memory/balanced/compute-bound classification (:147-167)
+
+TPU-native change (SURVEY.md §2.5 "TPU equiv"): absolute GB/s is reported *and* normalized to
+the chip's HBM roofline — the reference's RTX-4060 roofline analysis (docs/PROFILING_ANALYSIS.md:
+88-97, "STENCIL5 at 95% of peak") generalizes across chips only as a fraction of peak.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# Per-chip peak specs: (HBM GB/s, peak f32 GFLOPS dense).  Sources: public TPU spec sheets /
+# jax-ml.github.io/scaling-book hardware tables.  "TPU v5 lite" == v5e.
+CHIP_SPECS = {
+    "TPU v2": (700.0, 46_000.0),
+    "TPU v3": (900.0, 123_000.0),
+    "TPU v4": (1228.0, 275_000.0),
+    "TPU v5 lite": (819.0, 197_000.0),
+    "TPU v5e": (819.0, 197_000.0),
+    "TPU v5p": (2765.0, 459_000.0),
+    "TPU v6 lite": (1640.0, 918_000.0),
+    "TPU v6e": (1640.0, 918_000.0),
+    "TPU 7x": (7400.0, 2_300_000.0),
+    # CPU fallback for tests: nominal numbers so fractions stay finite
+    "cpu": (50.0, 1_000.0),
+}
+
+
+def chip_peaks(device_kind: str):
+    for key, val in CHIP_SPECS.items():
+        if device_kind.lower().startswith(key.lower()):
+            return val
+    return (819.0, 197_000.0)  # conservative default: v5e
+
+
+def spmv_flops(nnz: int) -> int:
+    return 2 * nnz  # one multiply + one add per stored nonzero (spmv_metrics.cu:63-65)
+
+
+def bytes_csr(nnz: int, rows: int, itemsize: int, idxsize: int = 4) -> int:
+    """Reference CSR byte model (spmv_metrics.cu:76-95): values + col indices + row_ptr +
+    x read + y write."""
+    return nnz * itemsize + nnz * idxsize + (rows + 1) * idxsize + 2 * rows * itemsize
+
+
+def bytes_ell(rows: int, width: int, itemsize: int, idxsize: int = 4) -> int:
+    return rows * width * (itemsize + idxsize) + 2 * rows * itemsize
+
+
+def bytes_stencil5(rows: int, itemsize: int) -> int:
+    """Values-carrying stencil: 5 coefficients + x + y per row, no index traffic —
+    the reference's 48 B/row (f64) model (docs/PROFILING_ANALYSIS.md byte table)."""
+    return 7 * rows * itemsize
+
+
+def bytes_stencil5_const(rows: int, itemsize: int) -> int:
+    """Constant-coefficient fast path: x + y only (16 B/row f64, SURVEY.md §6)."""
+    return 2 * rows * itemsize
+
+
+def bytes_dia(rows: int, ndiag: int, itemsize: int) -> int:
+    return (ndiag + 2) * rows * itemsize
+
+
+BYTE_MODELS = {
+    "csr": lambda op, itemsize: bytes_csr(op.nnz, op.num_rows, itemsize),
+    "ell": lambda op, itemsize: bytes_csr(op.nnz, op.num_rows, itemsize),
+    "bcoo": lambda op, itemsize: op.nnz * (itemsize + 8) + 2 * op.num_rows * itemsize,
+    "dia": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),  # 5 diags for stencil
+    "stencil5": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),
+    "stencil5-const": lambda op, itemsize: bytes_stencil5_const(op.num_rows, itemsize),
+}
+
+
+@dataclasses.dataclass
+class SpmvMetrics:
+    """Parity with reference SpmvMetrics (include/spmv.h / spmv_metrics.cu)."""
+
+    time_ms: float
+    gflops: float
+    bandwidth_gbs: float
+    arithmetic_intensity: float
+    roofline_fraction: float  # achieved BW / chip HBM peak
+    bound: str  # "memory-bound" | "balanced" | "compute-bound"
+    bytes_moved: int
+    nnz: int
+    rows: int
+    dtype: str
+
+
+def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
+                           device_kind: str, mode: Optional[str] = None) -> SpmvMetrics:
+    mode = mode or op.name
+    model = BYTE_MODELS.get(mode, BYTE_MODELS["csr"])
+    nbytes = model(op, dtype_itemsize)
+    t = time_ms / 1e3
+    flops = spmv_flops(op.nnz)
+    gflops = flops / t / 1e9 if t > 0 else 0.0
+    bw = nbytes / t / 1e9 if t > 0 else 0.0
+    ai = flops / nbytes if nbytes else 0.0
+    peak_bw, peak_flops = chip_peaks(device_kind)
+    ridge = peak_flops / peak_bw  # FLOPs per byte at the roofline ridge point
+    if ai < 0.5 * ridge:
+        bound = "memory-bound"
+    elif ai > 2.0 * ridge:
+        bound = "compute-bound"
+    else:
+        bound = "balanced"
+    return SpmvMetrics(
+        time_ms=time_ms,
+        gflops=gflops,
+        bandwidth_gbs=bw,
+        arithmetic_intensity=ai,
+        roofline_fraction=bw / peak_bw if peak_bw else 0.0,
+        bound=bound,
+        bytes_moved=nbytes,
+        nnz=op.nnz,
+        rows=op.num_rows,
+        dtype={4: "float32", 8: "float64", 2: "bfloat16"}.get(dtype_itemsize, "?"),
+    )
+
+
+def cg_gflops(nnz: int, iterations: int, spmv_time_ms: float) -> float:
+    """Reference performance{gflops_spmv} (cg_metrics.cu:~120): 2·nnz·iters / spmv time."""
+    if spmv_time_ms <= 0:
+        return 0.0
+    return 2.0 * nnz * iterations / (spmv_time_ms / 1e3) / 1e9

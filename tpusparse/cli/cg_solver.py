@@ -1,0 +1,103 @@
+"""CG solver CLI.
+
+Contract parity with the reference's ``cg_solver`` (src/main/cg_solver.cu:46-53):
+
+    python -m tpusparse.cli.cg_solver <matrix.mtx|gen:<g>> [--mode=stencil5]
+        [--tol=1e-6] [--maxiter=1000] [--timers] [--json=<f>] [--csv=<f>]
+        [--runs=10] [--warmup=3] [--dtype=...]
+
+Defaults match the reference: mode=stencil5 (their "stencil5-csr"), device-native loop,
+tol=1e-6, maxiter=1000, b = ones, x₀ = 0 (:124-128); 3 warmup solves then 10-run stats
+(:154-173); RMS-vs-ones sanity check (:187-192); Sum(x)/Norm2(x) checksums (:211-219).
+``--timers`` switches to the host-stepped loop with per-phase timing, the reference's opt-in
+detailed-timer tradeoff (cg_solver.h:25).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .spmv_bench import _resolve_dtype, load_operand
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="cg_solver", description=__doc__)
+    p.add_argument("matrix", help=".mtx path, or gen:<grid_size>")
+    p.add_argument("--mode", default="stencil5")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--maxiter", type=int, default=1000)
+    p.add_argument("--timers", action="store_true",
+                   help="per-phase timing via the host-stepped loop (adds sync overhead)")
+    p.add_argument("--json", default=None)
+    p.add_argument("--csv", default=None)
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
+    p.add_argument("--verbose", type=int, default=1)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    from .. import ops
+    from ..bench import export, metrics, stats, sysinfo
+    from ..solvers import cg
+
+    mat, name = load_operand(args.matrix)
+    dtype = _resolve_dtype(args.dtype)
+    op = ops.get_operator(args.mode, mat, dtype=dtype)
+    info = sysinfo.get_system_info()
+    print(f"[INFO] device: {info['device_kind']} x{info['num_devices']} "
+          f"(backend={info['backend']})")
+
+    run_dtype = dtype or (jnp.float64 if info["backend"] == "cpu" and info["x64_enabled"]
+                          else jnp.float32)
+    b = jnp.ones(op.field_shape, run_dtype)
+    config = cg.CGConfig(max_iters=args.maxiter, tolerance=args.tol,
+                         verbose=args.verbose, enable_detailed_timers=args.timers)
+
+    def run_solve():
+        t0 = time.perf_counter()
+        if args.timers:
+            x, st = cg.cg_solve_stepped(op.run_device_dot, b, config=config)
+        else:
+            x, st = cg.cg_solve(op.run_device_dot, b, config=config)
+        ms = (time.perf_counter() - t0) * 1e3
+        return ms, (x, st)
+
+    bench, (x, cg_stats) = stats.benchmark_solver_with_stats(
+        run_solve, num_runs=args.runs, warmup=args.warmup
+    )
+
+    x_host = np.asarray(x, np.float64).ravel()
+    gfl = metrics.cg_gflops(op.nnz, cg_stats.iterations,
+                            cg_stats.spmv_time_ms or bench.median_ms * 0.4)
+    result = export.cg_result_dict(
+        solver="tpusparse-cg", mode=args.mode, matrix_name=name, op=op,
+        cg_stats=cg_stats, bench_stats=bench, sysinfo=info,
+        sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
+        gflops_spmv=gfl,
+    )
+    export.print_human_cg(result)
+
+    # solution sanity: for the SPD stencil with b = ones, x has RMS ≈ its analytic scale
+    # (reference verifies against the x ≈ 1 heuristic, cg_solver.cu:187-192)
+    if not cg_stats.converged:
+        print("[WARN] solver did not converge", file=sys.stderr)
+
+    if args.json:
+        export.write_json(args.json, result)
+        print(f"[INFO] JSON written: {args.json}")
+    if args.csv:
+        export.append_csv(args.csv, result)
+    return 0 if cg_stats.converged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,116 @@
+"""SpMV benchmark CLI.
+
+Contract parity with the reference's ``spmv_bench`` (src/main/main.cu:48-55):
+
+    python -m tpusparse.cli.spmv_bench <matrix.mtx|gen:<g>> --mode=<m1[,m2,...]>
+        [--json=<file>] [--csv=<file>] [--runs=N] [--warmup=N] [--dtype=f32|f64]
+
+Behavioral parity: all modes validated before loading (:94-105); x = ones (:136-137);
+5 warmups, 10 timed runs (:158-162, 165-167); per-mode output files suffixed ``_<mode>``
+(:200-241); Sum(y)/Norm2(y) checksums at 16 decimals (:245-248).
+
+TPU addition: ``gen:<grid_size>`` synthesizes the stencil operand directly (no .mtx file),
+the large-grid path flagged in SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="spmv_bench", description=__doc__)
+    p.add_argument("matrix", help=".mtx path, or gen:<grid_size> for direct synthesis")
+    p.add_argument("--mode", default="stencil5",
+                   help="comma-separated SpMV modes (see tpusparse.ops.available_modes)")
+    p.add_argument("--json", default=None, help="JSON output base path")
+    p.add_argument("--csv", default=None, help="CSV output path (append mode)")
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
+    return p
+
+
+def _resolve_dtype(name):
+    if name is None:
+        return None
+    import jax.numpy as jnp
+
+    return {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}[name]
+
+
+def load_operand(spec: str):
+    """Returns (matrix-ish, display name)."""
+    from .. import formats, generate, io_mtx
+
+    if spec.startswith("gen:"):
+        g = int(spec[4:])
+        return generate.make_stencil5(g), f"stencil5-{g}x{g}"
+    coo = io_mtx.load_matrix_market(spec)
+    return formats.coo_to_csr(coo), os.path.basename(spec)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from .. import ops
+    from ..bench import export, metrics, stats, sysinfo
+
+    modes = [m.strip() for m in args.mode.split(",") if m.strip()]
+    # validate all modes before the (possibly slow) load — reference main.cu:94-105
+    for m in modes:
+        if m not in ops.available_modes():
+            print(f"[ERROR] unknown mode '{m}'. Available: {ops.available_modes()}",
+                  file=sys.stderr)
+            return 2
+
+    mat, name = load_operand(args.matrix)
+    dtype = _resolve_dtype(args.dtype)
+    info = sysinfo.get_system_info()
+    print(f"[INFO] device: {info['device_kind']} x{info['num_devices']} "
+          f"(backend={info['backend']})")
+
+    rc = 0
+    for mode in modes:
+        try:
+            op = ops.get_operator(mode, mat, dtype=dtype)
+        except ValueError as e:
+            print(f"[SKIP] mode {mode}: {e}", file=sys.stderr)
+            rc = 1
+            continue
+        x = np.ones(op.num_cols)
+        bench = stats.benchmark_with_stats(
+            lambda: op.run_timed(x)[1], num_runs=args.runs, warmup=args.warmup
+        )
+        y, _ = op.run_timed(x)
+        itemsize = np.dtype(
+            {"f32": np.float32, "f64": np.float64, "bf16": np.float16}.get(
+                args.dtype, np.float32 if info["backend"] != "cpu" else np.float64
+            )
+        ).itemsize
+        mets = metrics.calculate_spmv_metrics(
+            op, bench.median_ms, dtype_itemsize=itemsize,
+            device_kind=info["device_kind"], mode=mode,
+        )
+        result = export.spmv_result_dict(
+            mode=mode, matrix_name=name, op=op, metrics=mets, stats=bench,
+            sysinfo=info, sum_y=float(y.sum()), norm2_y=float(np.linalg.norm(y)),
+        )
+        export.print_human_spmv(result)
+        print()
+        if args.json:
+            base, ext = os.path.splitext(args.json)
+            path = f"{base}_{mode}{ext or '.json'}"
+            export.write_json(path, result)
+            print(f"[INFO] JSON written: {path}")
+        if args.csv:
+            export.append_csv(args.csv, result)
+        op.free()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,315 @@
+"""Pallas STENCIL5 SpMV — the framework's showcase kernel.
+
+Role parity: the reference's ``stencil5_csr_direct_kernel`` (src/spmv/spmv_stencil_csr_direct.cu:
+76-123) computes CSR offsets and column indices *arithmetically* from grid coordinates so that no
+``col_idx`` array is ever read — 48 B/row instead of CSR's 88 B/row.  The TPU-native formulation
+goes further: the vector x is a (g, g) field, the matrix is five (g, g) coefficient planes
+[N, W, C, E, S], and SpMV is five shifted FMAs.  The reference's per-thread
+``if interior / else boundary`` divergence (its correctness trap) disappears entirely: boundary
+coefficients are zeros in the planes, so one uniform vector code path is correct everywhere.
+
+Blocking: 1-D grid over row-slabs of ``block_rows`` grid rows.  Per step the kernel fetches
+  - the (5, block_rows, g) plane slab,
+  - the matching (block_rows, g) slab of x,
+  - two single (1, g) rows of x — the north neighbor of the slab's first row and the south
+    neighbor of its last row — via clamped index maps (no padded copy of x is ever made),
+  - two (1, g) halo rows (used only by the sharded solver; zeros on a single chip).
+W/E neighbors are intra-row lane shifts inside the slab.
+
+The fused variant also accumulates the dot product <x, A·x-block> across the sequential TPU grid
+into a (1, 1) scalar output — this is what lets the CG loop run SpMV + <p, Ap> in one HBM pass
+(the reference needs a separate cublasDdot pass, cg_solver_mgpu_partitioned.cu:567-583).
+
+f64 note: Mosaic/TPU cannot compile f64 kernels (verified on hardware); f64 parity runs use the
+XLA reference path (`spmv_stencil5_xla`) or interpret mode on CPU.  This mirrors the survey's
+plan (SURVEY.md §7 "hard parts": f64 on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import C, E, N, S, W
+
+
+def _auto_interpret(interpret: bool) -> bool:
+    # Pallas TPU kernels only run compiled on TPU; the CPU backend uses interpret mode.
+    return interpret or jax.default_backend() == "cpu"
+
+
+def _pick_block_rows(g: int, vmem_budget_bytes: int = 4 * 1024 * 1024, itemsize: int = 4) -> int:
+    """Choose a row-slab height: ~5 plane rows + 1 x row + 1 y row per grid row in VMEM,
+    double-buffered by the pipeline; keep one buffer set under the budget, multiple of 8."""
+    per_row = 7 * g * itemsize
+    bg = max(8, min(256, vmem_budget_bytes // max(per_row, 1)))
+    return int(bg - (bg % 8)) or 8
+
+
+def _stencil5_kernel(planes_ref, xm_ref, xtop_ref, xbot_ref, hprev_ref, hnext_ref,
+                     y_ref, *maybe_dot_ref, with_dot: bool, nrows_total: int = 0,
+                     block_rows: int = 0, row_in_win: int = 0):
+    dot_ref = maybe_dot_ref[0] if maybe_dot_ref else None
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    xm = xm_ref[:]
+    bg = xm.shape[0]
+
+    # Zero the padded tail of a non-divisible final block: its rows are never written back,
+    # but their garbage (NaN in interpret mode) must not leak into neighbor shifts or the dot.
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + i * block_rows
+    # jnp.where, not multiply: 0·NaN = NaN would leak interpret-mode pad garbage.
+    xm = jnp.where(lrow < nrows_total, xm, jnp.zeros_like(xm))
+
+    # North neighbors: row r of the slab needs x row (r0 + r - 1).
+    # First slab row comes from xtop (clamped window fetch) or, on the sharded path, the halo.
+    top_row = jnp.where(i == 0, hprev_ref[:], xtop_ref[row_in_win : row_in_win + 1, :])
+    xn = jnp.concatenate([top_row, xm[:-1, :]], axis=0)
+    # South neighbors: last slab row needs x row (r0 + bg), from xbot or the next-shard halo.
+    bot_row = jnp.where(i == ni - 1, hnext_ref[:], xbot_ref[0:1, :])
+    xs = jnp.concatenate([xm[1:, :], bot_row], axis=0)
+    # When the final block is padded (nrows % bg != 0), the band's last valid row sits mid-
+    # block: pin its south neighbor to the halo row there, not at the padded block end.
+    xs = jnp.where(lrow == nrows_total - 1, jnp.broadcast_to(bot_row, xs.shape), xs)
+    # West/East: intra-row lane shifts; the duplicated edge column is masked by the zero
+    # boundary coefficient in the W/E planes.
+    xw = jnp.concatenate([xm[:, :1], xm[:, :-1]], axis=1)
+    xe = jnp.concatenate([xm[:, 1:], xm[:, -1:]], axis=1)
+
+    y = (
+        planes_ref[C] * xm
+        + planes_ref[W] * xw
+        + planes_ref[E] * xe
+        + planes_ref[N] * xn
+        + planes_ref[S] * xs
+    )
+    y_ref[:] = y
+
+    if with_dot:
+        # Mask rows past the true grid edge (padded final block) out of the reduction.
+        # jnp.where (not multiply-by-mask) so NaN garbage in padded plane rows cannot leak.
+        part = jnp.sum(jnp.where(lrow < nrows_total, xm * y, jnp.zeros_like(y)))
+
+        @pl.when(i == 0)
+        def _():
+            dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+        dot_ref[0, 0] += part.astype(dot_ref.dtype)
+
+
+# Mosaic requires block sublane dims divisible by 8 (or equal to the array dim), so the
+# single neighbor rows are fetched as 8-row windows; the kernel slices out the row it needs.
+_ROWWIN = 8
+
+
+def _build_specs(nrows: int, ncols: int, bg: int):
+    nblocks = pl.cdiv(nrows, bg)
+    planes_spec = pl.BlockSpec((5, bg, ncols), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    xm_spec = pl.BlockSpec((bg, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if nrows < _ROWWIN or bg % _ROWWIN or bg == nrows:
+        # Tiny grid or single block: the window fetches are unused (halos cover both ends)
+        # or the grid is a single block; point them at block 0 with the xm blocking.
+        xtop_spec = pl.BlockSpec((bg, ncols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        xbot_spec = xtop_spec
+        row_in_win = 0
+    else:
+        nwin = pl.cdiv(nrows, _ROWWIN)
+        # Window containing row (i*bg - 1): its last row.  Clamped for i == 0 (unused: the
+        # kernel selects the halo row there instead).
+        xtop_spec = pl.BlockSpec(
+            (_ROWWIN, ncols),
+            lambda i: (jnp.maximum(i * (bg // _ROWWIN) - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        # Window starting at row (i+1)*bg: its first row.  Clamped for the last block (unused).
+        xbot_spec = pl.BlockSpec(
+            (_ROWWIN, ncols),
+            lambda i: (jnp.minimum((i + 1) * (bg // _ROWWIN), nwin - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+        row_in_win = _ROWWIN - 1
+    halo_spec = pl.BlockSpec((1, ncols), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((bg, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return nblocks, row_in_win, planes_spec, xm_spec, xtop_spec, xbot_spec, halo_spec, y_spec
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "with_dot", "interpret", "is_sharded_band")
+)
+def spmv_stencil5_pallas(planes, x, halo_prev=None, halo_next=None, *, block_rows: int = 0,
+                         with_dot: bool = False, interpret: bool = False,
+                         is_sharded_band: bool = False):
+    """y = A·x for a 5-point stencil operand.
+
+    Args:
+      planes: (5, rows, g) coefficient planes [N, W, C, E, S].  ``rows == g`` on a single chip;
+        on the sharded path ``rows`` is the local row-band height.
+      x: (rows, g) field.
+      halo_prev/halo_next: (1, g) neighbor-shard boundary rows (sharded path), else None.
+      with_dot: additionally return <x, A·x> accumulated on device (fused CG dot).
+    Returns y (rows, g), or (y, dot) when with_dot.
+    """
+    interpret = _auto_interpret(interpret)
+    rows, g = x.shape
+    assert planes.shape == (5, rows, g), (planes.shape, x.shape)
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), x.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), x.dtype)
+    bg = block_rows or _pick_block_rows(g, itemsize=x.dtype.itemsize)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    (nblocks, row_in_win, planes_spec, xm_spec, xtop_spec, xbot_spec, halo_spec,
+     y_spec) = _build_specs(rows, g, bg)
+    del is_sharded_band  # behavior is uniform; halos default to zeros on a single chip
+
+    kernel = functools.partial(
+        _stencil5_kernel, with_dot=with_dot, nrows_total=rows, block_rows=bg,
+        row_in_win=row_in_win,
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, g), x.dtype)]
+    out_specs = [y_spec]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
+        out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
+
+    flops = 9 * rows * g  # 5 mul + 4 add per point
+    bytes_accessed = (5 + 1 + 1) * rows * g * x.dtype.itemsize
+    result = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[planes_spec, xm_spec, xtop_spec, xbot_spec, halo_spec, halo_spec],
+        out_specs=out_specs if with_dot else out_specs[0],
+        out_shape=out_shape if with_dot else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(planes, x, x, x, halo_prev, halo_next)
+    if with_dot:
+        y, dot = result
+        return y, dot[0, 0]
+    return result
+
+
+def _stencil5_const_kernel(xm_ref, xtop_ref, xbot_ref, hprev_ref, hnext_ref, y_ref,
+                           *maybe_dot_ref,
+                           diag: float, offdiag: float, nrows_total: int, local_rows: int,
+                           block_rows: int, row_offset_static: int, gcols: int,
+                           with_dot: bool, row_in_win: int = 0):
+    """Constant-coefficient fast path: no planes in memory at all (16 B/row in f64 terms —
+    the extension flagged in SURVEY.md §6).  Boundary masking via iota row/col indices."""
+    dot_ref = maybe_dot_ref[0] if maybe_dot_ref else None
+    i = pl.program_id(0)
+    ni = pl.num_programs(0)
+    xm = xm_ref[:]
+    bg = xm.shape[0]
+    dtype = xm.dtype
+
+    # Zero the padded tail of a non-divisible final block (see _stencil5_kernel).
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + i * block_rows
+    xm = jnp.where(lrow < local_rows, xm, jnp.zeros_like(xm))
+
+    top_row = jnp.where(i == 0, hprev_ref[:], xtop_ref[row_in_win : row_in_win + 1, :])
+    bot_row = jnp.where(i == ni - 1, hnext_ref[:], xbot_ref[0:1, :])
+    xn = jnp.concatenate([top_row, xm[:-1, :]], axis=0)
+    xs = jnp.concatenate([xm[1:, :], bot_row], axis=0)
+    # Padded final block: the last valid row's south neighbor is the halo row (see
+    # _stencil5_kernel).
+    xs = jnp.where(lrow == local_rows - 1, jnp.broadcast_to(bot_row, xs.shape), xs)
+    xw = jnp.concatenate([xm[:, :1], xm[:, :-1]], axis=1)
+    xe = jnp.concatenate([xm[:, 1:], xm[:, -1:]], axis=1)
+
+    # No N/S masks needed: the true top/bottom grid boundaries always arrive as zero halo
+    # rows (ppermute zero-fills edge shards; the single-chip caller passes zeros), so the
+    # Dirichlet boundary is data, not control flow.  This also makes the kernel agnostic to
+    # its global row offset (unlike the reference's mgpu kernel which threads row_offset,
+    # spmv_stencil_csr_direct.cu:144-189).  W/E boundaries are lane masks.
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (bg, gcols), 1)
+    mask_w = (gcol > 0).astype(dtype)
+    mask_e = (gcol < gcols - 1).astype(dtype)
+
+    y = diag * xm + offdiag * (xn + xs + mask_w * xw + mask_e * xe)
+    y_ref[:] = y
+
+    if with_dot:
+        part = jnp.sum(jnp.where(lrow < local_rows, xm * y, jnp.zeros_like(y)))
+
+        @pl.when(i == 0)
+        def _():
+            dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+        dot_ref[0, 0] += part.astype(dot_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "diag", "offdiag", "grid_rows_total", "row_offset", "block_rows", "with_dot",
+        "interpret",
+    ),
+)
+def spmv_stencil5_const_pallas(x, halo_prev=None, halo_next=None, *, diag: float = 5.0,
+                               offdiag: float = -1.0, grid_rows_total: int = 0,
+                               row_offset: int = 0, block_rows: int = 0,
+                               with_dot: bool = False, interpret: bool = False):
+    """Values-free constant-coefficient stencil SpMV: y = diag·x + offdiag·Σ neighbors."""
+    interpret = _auto_interpret(interpret)
+    rows, g = x.shape
+    total = grid_rows_total or rows
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), x.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), x.dtype)
+    bg = block_rows or _pick_block_rows(g, itemsize=x.dtype.itemsize)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    (nblocks, row_in_win, _, xm_spec, xtop_spec, xbot_spec, halo_spec,
+     y_spec) = _build_specs(rows, g, bg)
+    kernel = functools.partial(
+        _stencil5_const_kernel,
+        diag=diag, offdiag=offdiag, nrows_total=total, local_rows=rows, block_rows=bg,
+        row_offset_static=row_offset, gcols=g, with_dot=with_dot, row_in_win=row_in_win,
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, g), x.dtype)]
+    out_specs = [y_spec]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
+        out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
+    result = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[xm_spec, xtop_spec, xbot_spec, halo_spec, halo_spec],
+        out_specs=out_specs if with_dot else out_specs[0],
+        out_shape=out_shape if with_dot else out_shape[0],
+        cost_estimate=pl.CostEstimate(
+            flops=9 * rows * g,
+            bytes_accessed=2 * rows * g * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, x, halo_prev, halo_next)
+    if with_dot:
+        y, dot = result
+        return y, dot[0, 0]
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=())
+def spmv_stencil5_xla(planes, x, halo_prev=None, halo_next=None):
+    """Pure-XLA reference formulation (shifted pads).  Serves as (a) the correctness oracle for
+    the Pallas kernel, (b) the f64 path on TPU (Mosaic has no f64), and (c) a fusion baseline
+    to measure the Pallas kernel against."""
+    rows, g = x.shape
+    top = halo_prev if halo_prev is not None else jnp.zeros((1, g), x.dtype)
+    bot = halo_next if halo_next is not None else jnp.zeros((1, g), x.dtype)
+    xn = jnp.concatenate([top, x[:-1, :]], axis=0)
+    xs = jnp.concatenate([x[1:, :], bot], axis=0)
+    zcol = jnp.zeros((rows, 1), x.dtype)
+    xw = jnp.concatenate([zcol, x[:, :-1]], axis=1)
+    xe = jnp.concatenate([x[:, 1:], zcol], axis=1)
+    return (
+        planes[C] * x + planes[W] * xw + planes[E] * xe + planes[N] * xn + planes[S] * xs
+    )

@@ -1,0 +1,282 @@
+"""SpMV operator registry.
+
+Parity with the reference's function-pointer vtable ``SpmvOperator {name, init, run_timed,
+run_device, free}`` (include/spmv.h:125-134) and registry ``get_operator(mode)``
+(src/spmv/spmv.cu:11-23).  Mode names:
+
+  - ``"csr"``            — generic baseline (the cuSPARSE-CSR role, reference "cusparse-csr"):
+                           on TPU a gather-based ELL formulation executed by XLA; the honest
+                           generic path for arbitrary sparsity.
+  - ``"dia"``            — gather-free diagonal-offset Pallas/XLA kernel for matrices with few
+                           distinct diagonals (TPU-native generic structured path).
+  - ``"stencil5"``       — the showcase structure-exploiting Pallas kernel
+                           (reference "stencil5-csr").
+  - ``"stencil5-const"`` — values-free constant-coefficient fast path (extension flagged in
+                           SURVEY.md §6).
+  - ``"bcoo"``           — jax.experimental.sparse BCOO matvec: the independent
+                           industry-reference cross-check (the AmgX role, SURVEY.md §2.7).
+
+Operator contract: ``init(matrix-ish) -> DeviceOperator`` with
+  - ``run_device(x_field) -> y_field``         (reference run_device, zero host transfer)
+  - ``run_device_dot(x) -> (y, <x,y>)``        (fused SpMV+dot for CG)
+  - ``run_timed(x) -> (y, ms)``                (reference run_timed: includes one H2D/D2H)
+  - ``free()``                                 (drop device references)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import formats
+from .formats import CSRMatrix, DIAMatrix, ELLMatrix, Stencil5
+from .kernels import blas1 as _blas1
+from .kernels import stencil5 as _st5
+
+
+def _default_dtype():
+    # f64 kernels cannot compile on TPU (Mosaic); x64 CPU runs use f64 end to end.
+    return jnp.float64 if jax.config.jax_enable_x64 and jax.default_backend() == "cpu" \
+        else jnp.float32
+
+
+def _is_cpu() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@dataclasses.dataclass
+class DeviceOperator:
+    name: str
+    num_rows: int
+    num_cols: int
+    nnz: int
+    field_shape: tuple  # (rows, cols) 2-D view of the vector space
+    run_device: Callable  # x_field -> y_field
+    run_device_dot: Callable  # x_field -> (y_field, <x, A x>)
+    grid_size: int = 0
+    _buffers: Any = None
+
+    def as_field(self, x_flat):
+        return jnp.asarray(x_flat).reshape(self.field_shape)
+
+    def run_timed(self, x_flat_host: np.ndarray):
+        """Reference run_timed semantics (spmv_cusparse_csr.cu:234-264): includes the H2D of x
+        and D2H of y in the timed region, kernel timed on device events — here wall clock
+        around a fully synchronized call."""
+        t0 = time.perf_counter()
+        xf = jnp.asarray(np.asarray(x_flat_host).reshape(self.field_shape),
+                         self._run_dtype())
+        y = self.run_device(xf)
+        y_host = np.asarray(y)
+        ms = (time.perf_counter() - t0) * 1e3
+        return y_host.reshape(-1), ms
+
+    def _run_dtype(self):
+        return self._buffers.get("dtype", _default_dtype()) if isinstance(
+            self._buffers, dict) else _default_dtype()
+
+    def free(self):
+        self._buffers = None
+
+
+# ---------------------------------------------------------------------------
+# stencil5 (values-carrying Pallas kernel)
+# ---------------------------------------------------------------------------
+
+
+def _init_stencil5(st: Stencil5, dtype=None) -> DeviceOperator:
+    dtype = dtype or _default_dtype()
+    g = st.grid_size
+    planes = jnp.asarray(st.planes, dtype)
+    interp = _is_cpu()
+
+    def run_device(x):
+        return _st5.spmv_stencil5_pallas(planes, x, interpret=interp)
+
+    def run_device_dot(x):
+        return _st5.spmv_stencil5_pallas(planes, x, with_dot=True, interpret=interp)
+
+    return DeviceOperator(
+        name="stencil5", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
+        field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=g, _buffers={"planes": planes, "dtype": dtype},
+    )
+
+
+def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
+    if st.constant is None:
+        raise ValueError("stencil5-const requires uniform coefficients")
+    dtype = dtype or _default_dtype()
+    g = st.grid_size
+    diag, offdiag = st.constant
+    interp = _is_cpu()
+
+    def run_device(x):
+        return _st5.spmv_stencil5_const_pallas(
+            x, diag=diag, offdiag=offdiag, interpret=interp)
+
+    def run_device_dot(x):
+        return _st5.spmv_stencil5_const_pallas(
+            x, diag=diag, offdiag=offdiag, with_dot=True, interpret=interp)
+
+    return DeviceOperator(
+        name="stencil5-const", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
+        field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=g, _buffers={"dtype": dtype},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic paths
+# ---------------------------------------------------------------------------
+
+
+def _field_shape_for(n: int) -> tuple:
+    """Factor n into a 2-D field shape with a wide-ish lane dim (vectors are 2-D on TPU)."""
+    for cols in (1024, 512, 256, 128):
+        if n % cols == 0:
+            return (n // cols, cols)
+    return (n, 1)
+
+
+def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperator:
+    """Generic gather-based path (the cuSPARSE baseline role).  CSR/COO → padded ELL; the
+    gather x[col] runs as an XLA gather — correct for arbitrary matrices."""
+    dtype = dtype or _default_dtype()
+    csr = _as_csr(mat)
+    ell = formats.csr_to_ell(csr, width)
+    cols_d = jnp.asarray(ell.col, jnp.int32)
+    vals_d = jnp.asarray(ell.val, dtype)
+    fshape = _field_shape_for(csr.num_rows)
+
+    @jax.jit
+    def run_device(x):
+        xf = x.reshape(-1)
+        y = jnp.sum(vals_d * xf[cols_d], axis=1)
+        return y.reshape(fshape)
+
+    @jax.jit
+    def run_device_dot(x):
+        y = run_device(x)
+        return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
+    return DeviceOperator(
+        name="csr", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
+        field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=csr.grid_size, _buffers={"col": cols_d, "val": vals_d, "dtype": dtype},
+    )
+
+
+def _init_dia(mat, dtype=None) -> DeviceOperator:
+    """Gather-free diagonal-offset path: y = Σ_d data[d] · shift(x, off_d).  The TPU-native
+    generic formulation for banded/structured matrices (plays the reference's generic-CSR
+    kernel role, cg_solver_mgpu_partitioned.cu:40-56, without index traffic)."""
+    dtype = dtype or _default_dtype()
+    csr = _as_csr(mat)
+    dia = formats.csr_to_dia(csr)
+    n = csr.num_rows
+    data_d = jnp.asarray(dia.data, dtype)  # (ndiag, n)
+    offsets = [int(o) for o in dia.offsets]
+    fshape = _field_shape_for(n)
+
+    @jax.jit
+    def run_device(x):
+        xf = x.reshape(-1)
+        y = jnp.zeros((n,), dtype)
+        for d, off in enumerate(offsets):
+            # y[i] += data[d, i] * x[i + off] for valid i; implement as static slices
+            lo = max(0, -off)
+            hi = min(n, n - off)
+            if hi <= lo:
+                continue
+            seg = data_d[d, lo:hi] * jax.lax.dynamic_slice_in_dim(xf, lo + off, hi - lo)
+            y = y.at[lo:hi].add(seg)
+        return y.reshape(fshape)
+
+    @jax.jit
+    def run_device_dot(x):
+        y = run_device(x)
+        return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
+    return DeviceOperator(
+        name="dia", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
+        field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=csr.grid_size, _buffers={"data": data_d, "dtype": dtype},
+    )
+
+
+def _init_bcoo(mat, dtype=None) -> DeviceOperator:
+    """jax.experimental.sparse BCOO matvec — the independent cross-check baseline
+    (the AmgX comparison role, SURVEY.md §2.7)."""
+    from jax.experimental import sparse as jsparse
+
+    dtype = dtype or _default_dtype()
+    csr = _as_csr(mat)
+    coo = formats.csr_to_coo(csr)
+    indices = jnp.stack(
+        [jnp.asarray(coo.row, jnp.int32), jnp.asarray(coo.col, jnp.int32)], axis=1
+    )
+    bcoo = jsparse.BCOO(
+        (jnp.asarray(coo.val, dtype), indices), shape=(csr.num_rows, csr.num_cols)
+    )
+    fshape = _field_shape_for(csr.num_rows)
+
+    @jax.jit
+    def run_device(x):
+        return (bcoo @ x.reshape(-1)).reshape(fshape)
+
+    @jax.jit
+    def run_device_dot(x):
+        y = run_device(x)
+        return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
+    return DeviceOperator(
+        name="bcoo", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
+        field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=csr.grid_size, _buffers={"bcoo": bcoo, "dtype": dtype},
+    )
+
+
+def _as_csr(mat) -> CSRMatrix:
+    if isinstance(mat, CSRMatrix):
+        return mat
+    if isinstance(mat, formats.COOMatrix):
+        return formats.coo_to_csr(mat)
+    if isinstance(mat, Stencil5):
+        return formats.stencil5_to_csr(mat)
+    raise TypeError(f"cannot interpret {type(mat)} as a matrix")
+
+
+def _as_stencil5(mat) -> Stencil5:
+    if isinstance(mat, Stencil5):
+        return mat
+    return formats.csr_to_stencil5(_as_csr(mat))
+
+
+_REGISTRY: Dict[str, Callable] = {
+    "csr": lambda m, **kw: _init_ell_xla(m, **kw),
+    "ell": lambda m, **kw: _init_ell_xla(m, **kw),
+    "dia": lambda m, **kw: _init_dia(m, **kw),
+    "bcoo": lambda m, **kw: _init_bcoo(m, **kw),
+    "stencil5": lambda m, **kw: _init_stencil5(_as_stencil5(m), **kw),
+    "stencil5-const": lambda m, **kw: _init_stencil5_const(_as_stencil5(m), **kw),
+    # reference-compatible aliases (src/spmv/spmv.cu:12-15)
+    "cusparse-csr": lambda m, **kw: _init_ell_xla(m, **kw),
+    "stencil5-csr": lambda m, **kw: _init_stencil5(_as_stencil5(m), **kw),
+}
+
+
+def available_modes():
+    return sorted(_REGISTRY)
+
+
+def get_operator(mode: str, mat, dtype=None) -> DeviceOperator:
+    """Build a device operator (reference get_operator + op->init in one step)."""
+    if mode not in _REGISTRY:
+        raise ValueError(f"unknown SpMV mode '{mode}'; available: {available_modes()}")
+    return _REGISTRY[mode](mat, dtype=dtype)

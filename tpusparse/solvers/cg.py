@@ -1,0 +1,228 @@
+"""Single-chip Conjugate Gradient solver, device-resident.
+
+Algorithm parity with the reference (src/solvers/cg_solver.cu:11-20 header comment and
+cg_solve_device :436-706):
+
+    r₀ = b − A·x₀ ; p₀ = r₀ ; rr₀ = (r₀, r₀) ; ‖b‖ = √rr₀   (x₀ = 0 ⇒ r₀ = b)
+    loop:  Ap = A·p ; pAp = (p, Ap) ; α = rr/pAp
+           x += α·p ; r −= α·Ap ; rr' = (r, r)
+           converged = √rr' < tol·‖b‖  → stop (counting this iteration)
+           β = rr'/rr ; p = r + β·p
+
+The reference's device-native loop polls a 4-byte convergence flag per iteration
+(cg_solver.cu:598-599) — its only host sync.  The TPU-native analog is stronger: the whole loop
+is a ``jax.lax.while_loop`` under jit, so the convergence predicate never leaves the device and
+the host syncs exactly once, at the end of the solve.
+
+Iteration-count semantics match the reference exactly (:538-650): ``iterations`` counts the
+converging iteration (iter++ on break, :619), so deterministic 14-iteration parity on the
+stencil grids is directly comparable.
+
+Per-iteration HBM traffic (values-carrying stencil, one chip):
+    spmv+dot 7 words/pt, fused update 6, p-update 3 ⇒ 16 words/pt — vs the reference's ~7
+    kernel passes.  The fusions are the TPU-native win flagged in SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels import blas1
+
+
+@dataclasses.dataclass
+class CGConfig:
+    """Parity with reference CGConfig (include/solvers/cg_solver.h:21-26)."""
+
+    max_iters: int = 1000
+    tolerance: float = 1e-6
+    verbose: int = 0
+    enable_detailed_timers: bool = False
+
+
+@dataclasses.dataclass
+class CGStats:
+    """Parity with reference CGStats (include/solvers/cg_solver.h:28-43)."""
+
+    iterations: int = 0
+    converged: bool = False
+    residual_norm: float = 0.0
+    relative_residual: float = 0.0
+    total_time_ms: float = 0.0
+    spmv_time_ms: float = 0.0
+    blas1_time_ms: float = 0.0
+    reduction_time_ms: float = 0.0
+
+
+def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,
+                 interpret: bool = False):
+    """Build the jittable CG iteration body.
+
+    ``spmv_dot(p) -> (Ap, pAp)`` is the operator contract — the analog of the reference's
+    ``run_device`` function-pointer seam (include/spmv.h:131; SURVEY.md §1 "deliberate design
+    point"): any SpMV implementation is usable inside CG unmodified.
+    """
+
+    def step(state):
+        x, r, p, rr, k = state
+        ap, pap = spmv_dot(p)
+        alpha = (rr / pap).astype(x.dtype)
+        if use_pallas_blas1:
+            x, r, rr_new = blas1.cg_update_pallas(alpha, x, r, p, ap, interpret=interpret)
+        else:
+            x = x + alpha * p
+            r = r - alpha * ap
+            rr_new = jnp.vdot(r, r)
+        beta = (rr_new / rr).astype(x.dtype)
+        if use_pallas_blas1:
+            p = blas1.p_update_pallas(beta, r, p, interpret=interpret)
+        else:
+            p = r + beta * p
+        return x, r, p, rr_new, k + 1
+
+    return step
+
+
+def cg_solve(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = None,
+             spmv: Optional[Callable] = None, use_pallas_blas1: bool = True,
+             interpret: bool = False):
+    """Device-resident CG solve.  Returns (x, CGStats).
+
+    Args:
+      spmv_dot: ``p -> (A·p, <p, A·p>)`` — fused operator (ops.py registry provides it).
+      b: right-hand side as a 2-D field (any (rows, cols) factorization of n).
+      x0: initial guess (default zeros, the reference CLI default cg_solver.cu:124-128).
+      spmv: optional plain ``x -> A·x`` used once for r₀ when x0 ≠ 0.
+    """
+    config = config or CGConfig()
+    solve = _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret,
+                          config.max_iters, float(config.tolerance))
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    t0 = time.perf_counter()
+    x, rr, k, b_norm = solve(b, x0)
+    x.block_until_ready()
+    rr = float(rr)
+    k = int(k)
+    b_norm = float(b_norm)
+    total_ms = (time.perf_counter() - t0) * 1e3
+    res = rr ** 0.5
+    stats = CGStats(
+        iterations=k,
+        converged=bool(res < config.tolerance * b_norm) if b_norm > 0 else True,
+        residual_norm=res,
+        relative_residual=res / b_norm if b_norm > 0 else 0.0,
+        total_time_ms=total_ms,
+    )
+    return x, stats
+
+
+_SOLVER_CACHE = {}
+
+
+def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolerance):
+    key = (id(spmv_dot), id(spmv), use_pallas_blas1, interpret, max_iters, tolerance)
+    if key in _SOLVER_CACHE:
+        return _SOLVER_CACHE[key]
+
+    step = make_cg_step(spmv_dot, use_pallas_blas1=use_pallas_blas1, interpret=interpret)
+
+    @jax.jit
+    def solve(b, x0):
+        if spmv is None:
+            # x₀ = 0 fast path: r₀ = b (checked statically impossible; rely on caller passing
+            # spmv when x0 may be nonzero).  We still compute r₀ = b − A·x₀ generically if a
+            # plain spmv was provided.
+            r0 = b
+        else:
+            ax0 = spmv(x0)
+            r0 = b - ax0
+        if use_pallas_blas1:
+            rr0 = blas1.dot_pallas(r0, r0, interpret=interpret)
+        else:
+            rr0 = jnp.vdot(r0, r0)
+        b_norm = jnp.sqrt(rr0)
+        tol2 = (tolerance * tolerance) * rr0  # converged ⇔ rr < tol²·‖b‖²
+
+        def cond(state):
+            _, _, _, rr, k = state
+            return jnp.logical_and(k < max_iters, rr >= tol2)
+
+        state0 = (x0, r0, r0, rr0, jnp.zeros((), jnp.int32))
+        x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
+        return x, rr, k, b_norm
+
+    _SOLVER_CACHE[key] = solve
+    return solve
+
+
+def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = None,
+                     spmv: Optional[Callable] = None, use_pallas_blas1: bool = True,
+                     interpret: bool = False):
+    """Host-stepped CG with per-phase wall timing — the ``--timers`` mode.
+
+    Mirrors the reference's opt-in detailed timers (cg_solver.h:25, cg_solver.cu:543-547):
+    phase-split stepping costs sync overhead, so it is a diagnostic mode, not the perf path.
+    Returns (x, CGStats) with spmv/blas1/reduction breakdowns."""
+    config = config or CGConfig()
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r = b
+    else:
+        ax0 = spmv(x0) if spmv is not None else None
+        if ax0 is None:
+            raise ValueError("nonzero x0 requires the plain spmv callable")
+        r = b - ax0
+    x = x0
+    p = r
+    if use_pallas_blas1:
+        rr = float(blas1.dot_pallas(r, r, interpret=interpret))
+    else:
+        rr = float(jnp.vdot(r, r))
+    b_norm = rr ** 0.5
+    stats = CGStats()
+    t_solve = time.perf_counter()
+    k = 0
+    converged = False
+    while k < config.max_iters and not converged:
+        t0 = time.perf_counter()
+        ap, pap = spmv_dot(p)
+        pap = float(pap)
+        stats.spmv_time_ms += (time.perf_counter() - t0) * 1e3
+        alpha = rr / pap
+        t0 = time.perf_counter()
+        if use_pallas_blas1:
+            x, r, rr_new = blas1.cg_update_pallas(alpha, x, r, p, ap, interpret=interpret)
+        else:
+            x = x + alpha * p
+            r = r - alpha * ap
+            rr_new = jnp.vdot(r, r)
+        rr_new = float(rr_new)
+        stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+        k += 1
+        if config.verbose >= 2:
+            print(f"[CG] Iter {k:3d}: residual = {rr_new ** 0.5:e} "
+                  f"(rel = {rr_new ** 0.5 / b_norm:e})")
+        if rr_new ** 0.5 < config.tolerance * b_norm:
+            converged = True
+        else:
+            beta = rr_new / rr
+            t0 = time.perf_counter()
+            if use_pallas_blas1:
+                p = blas1.p_update_pallas(beta, r, p, interpret=interpret)
+            else:
+                p = r + beta * p
+            jax.block_until_ready(p)
+            stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+        rr = rr_new
+    stats.total_time_ms = (time.perf_counter() - t_solve) * 1e3
+    stats.iterations = k
+    stats.converged = converged
+    stats.residual_norm = rr ** 0.5
+    stats.relative_residual = rr ** 0.5 / b_norm if b_norm > 0 else 0.0
+    return x, stats

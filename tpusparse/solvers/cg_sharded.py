@@ -1,0 +1,206 @@
+"""Multi-chip sharded Conjugate Gradient — the framework's flagship (reference
+``cg_solve_mgpu_partitioned``, src/solvers/cg_solver_mgpu_partitioned.cu:236-908).
+
+Mapping from the reference's MPI design to TPU (SURVEY.md §2.4 / §5.8):
+
+  reference (CUDA + MPI)                         this solver (JAX on TPU)
+  ------------------------------------------     -----------------------------------------
+  1 MPI rank = 1 GPU, cudaSetDevice(rank)        1-D ``jax.sharding.Mesh`` over all chips
+  1-D row-band partition n/P (+remainder)        field rows sharded P("x"): band = g/P rows
+  pinned-host staged MPI_Isend/Irecv halo        ``jax.lax.ppermute`` of ONE boundary row
+    (cudaMemcpyAsync D2H→MPI→H2D, :173-231)        per direction, straight over ICI
+  cublasDdot + MPI_Allreduce(1 double)           fused Pallas local dot + ``jax.lax.psum``
+  MPI_Gatherv of the solution (:834-851)         out_spec resharding (XLA all-gather)
+  per-vector halo: x₀ once, r once, p per-iter   identical schedule: p's halo per iteration
+
+The reference's staging pipeline exists because CUDA-aware MPI wasn't assumed
+(cg_solver_mgpu_partitioned.cu:160-171); on TPU the ICI collective replaces the entire staging
+layer.  Halo volume parity: one grid-row (g elements) per neighbor per iteration — the same
+O(g) communication vs O(g²/P) compute that gives the reference its 93% strong scaling.
+
+The whole solve — halo exchanges, SpMV, reductions, convergence — is ONE jitted
+``shard_map``-wrapped ``lax.while_loop``: zero host round-trips during the solve (the reference
+polls a convergence flag per iteration; here even that stays on device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels import blas1
+from ..kernels.stencil5 import spmv_stencil5_const_pallas, spmv_stencil5_pallas
+from .cg import CGConfig, CGStats
+
+
+def _band_halo_exchange(field_block, axis_name: str, axis_size: int):
+    """Exchange boundary rows with row-band neighbors over ICI.
+
+    Returns (halo_prev, halo_next), each (1, cols): the neighbor's adjacent boundary row.
+    Edge shards receive zeros (``ppermute`` fills missing sources with zeros), which is
+    exactly the Dirichlet boundary — no special-casing, unlike the reference's per-rank
+    prev/next conditionals (exchange_halo_mpi :188-217)."""
+    down = [(i, i + 1) for i in range(axis_size - 1)]  # my last row -> next shard's halo_prev
+    up = [(i + 1, i) for i in range(axis_size - 1)]  # my first row -> prev shard's halo_next
+    halo_prev = jax.lax.ppermute(field_block[-1:, :], axis_name, down)
+    halo_next = jax.lax.ppermute(field_block[:1, :], axis_name, up)
+    return halo_prev, halo_next
+
+
+@dataclasses.dataclass
+class ShardedOperator:
+    """Row-band sharded STENCIL5 operator: the sharded analog of ops.DeviceOperator."""
+
+    mesh: Mesh
+    grid_size: int
+    mode: str  # "stencil5" | "stencil5-const"
+    planes: Optional[jax.Array]  # (5, g, g), row-band sharded; None for const mode
+    diag: float
+    offdiag: float
+    dtype: object
+
+    @property
+    def nnz(self) -> int:
+        g = self.grid_size
+        return 5 * g * g - 4 * g
+
+    @property
+    def num_rows(self) -> int:
+        return self.grid_size * self.grid_size
+
+    num_cols = num_rows
+    name = property(lambda self: self.mode)
+
+    def local_spmv_dot(self, planes_l, p_l, axis_name: str, axis_size: int):
+        """Local band SpMV + global <p, Ap>.  Runs inside shard_map."""
+        hp, hn = _band_halo_exchange(p_l, axis_name, axis_size)
+        if self.mode == "stencil5-const":
+            y, pap_local = spmv_stencil5_const_pallas(
+                p_l, hp, hn, diag=self.diag, offdiag=self.offdiag, with_dot=True
+            )
+        else:
+            y, pap_local = spmv_stencil5_pallas(planes_l, p_l, hp, hn, with_dot=True)
+        return y, jax.lax.psum(pap_local, axis_name)
+
+
+def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
+                          planes=None, diag: float = 5.0, offdiag: float = -1.0,
+                          dtype=jnp.float32) -> ShardedOperator:
+    """Build the sharded operand.  For ``mode="stencil5"`` the (5, g, g) coefficient planes are
+    synthesized (or accepted) and laid out row-band sharded — the analog of the reference's
+    "extract + rebase the local CSR band" (:302-331), except sharding happens at construction
+    (the reference marks that a TODO)."""
+    g = grid_size
+    naxis = mesh.devices.size
+    if g % naxis:
+        raise ValueError(f"grid_size {g} must be divisible by mesh size {naxis} (round 1)")
+    if mode == "stencil5":
+        if planes is None:
+            from ..generate import make_stencil5_planes_device
+
+            planes = make_stencil5_planes_device(g, diag, offdiag, dtype=dtype)
+        planes = jax.device_put(
+            planes, NamedSharding(mesh, P(None, "x", None))
+        )
+    elif mode != "stencil5-const":
+        raise ValueError(f"sharded CG supports stencil5/stencil5-const, got {mode}")
+    return ShardedOperator(
+        mesh=mesh, grid_size=g, mode=mode, planes=planes, diag=diag, offdiag=offdiag,
+        dtype=dtype,
+    )
+
+
+_SOLVER_CACHE = {}
+
+
+def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float):
+    key = (id(op.mesh), op.grid_size, op.mode, op.diag, op.offdiag, str(op.dtype),
+           max_iters, tolerance)
+    if key in _SOLVER_CACHE:
+        return _SOLVER_CACHE[key]
+
+    mesh = op.mesh
+    axis = "x"
+    naxis = mesh.devices.size
+    has_planes = op.mode == "stencil5"
+
+    def local_cg(b_l, planes_l):
+        """Runs per shard inside shard_map.  b_l: (band, g) local rows."""
+
+        def spmv_dot(p_l):
+            return op.local_spmv_dot(planes_l, p_l, axis, naxis)
+
+        r0 = b_l  # x0 = 0
+        rr0 = jax.lax.psum(blas1.dot_pallas(r0, r0), axis)
+        b_norm = jnp.sqrt(rr0)
+        tol2 = (tolerance * tolerance) * rr0
+
+        def cond(state):
+            _, _, _, rr, k = state
+            return jnp.logical_and(k < max_iters, rr >= tol2)
+
+        def step(state):
+            x, r, p, rr, k = state
+            ap, pap = spmv_dot(p)
+            alpha = (rr / pap).astype(x.dtype)
+            x, r, rr_local = blas1.cg_update_pallas(alpha, x, r, p, ap)
+            rr_new = jax.lax.psum(rr_local, axis)
+            beta = (rr_new / rr).astype(x.dtype)
+            p = blas1.p_update_pallas(beta, r, p)
+            return x, r, p, rr_new, k + 1
+
+        state0 = (jnp.zeros_like(b_l), r0, r0, rr0, jnp.zeros((), jnp.int32))
+        x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
+        return x, rr, k, b_norm
+
+    in_specs = (P(axis, None), P(None, axis, None) if has_planes else P())
+    sharded = jax.shard_map(
+        local_cg, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(axis, None), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def solve(b, planes):
+        return sharded(b, planes)
+
+    _SOLVER_CACHE[key] = solve
+    return solve
+
+
+def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil5-const",
+                     planes=None, diag: float = 5.0, offdiag: float = -1.0,
+                     tolerance: float = 1e-6, max_iters: int = 1000, dtype=jnp.float32,
+                     config: Optional[CGConfig] = None):
+    """Full sharded CG solve over the mesh.  Returns (x (g,g) row-band sharded, CGStats)."""
+    if config is not None:
+        tolerance, max_iters = config.tolerance, config.max_iters
+    op = make_sharded_operator(
+        mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag, dtype=dtype
+    )
+    solve = _build_sharded_solver(op, max_iters, float(tolerance))
+    if b is None:
+        b = jnp.ones((grid_size, grid_size), dtype)
+    b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P("x", None)))
+    planes_arg = op.planes if op.mode == "stencil5" else jnp.zeros((), dtype)
+    t0 = time.perf_counter()
+    x, rr, k, b_norm = solve(b, planes_arg)
+    x.block_until_ready()
+    total_ms = (time.perf_counter() - t0) * 1e3
+    rr = float(rr)
+    b_norm = float(b_norm)
+    res = rr ** 0.5
+    stats = CGStats(
+        iterations=int(k),
+        converged=bool(res < tolerance * b_norm) if b_norm > 0 else True,
+        residual_norm=res,
+        relative_residual=res / b_norm if b_norm > 0 else 0.0,
+        total_time_ms=total_ms,
+    )
+    return x, stats
