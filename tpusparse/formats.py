@@ -179,9 +179,20 @@ def coo_to_csr(coo: COOMatrix) -> CSRMatrix:
     """COO → CSR with per-row column sort (reference build_csr_struct,
     spmv_cusparse_csr.cu:62-170: count per row, prefix sum, scatter, insertion-sort each row).
 
-    Vectorized equivalent: a single stable lexsort by (row, col).
+    Vectorized equivalent: a single stable lexsort by (row, col).  Uses the native C++
+    builder (csrc/mtxio.cpp) when available.
     """
     coo.validate()
+    from . import native
+
+    if native.available() and coo.nnz:
+        row_ptr, col_idx, val = native.coo_to_csr_sorted(
+            coo.num_rows, coo.row, coo.col, coo.val
+        )
+        return CSRMatrix(
+            num_rows=coo.num_rows, num_cols=coo.num_cols, row_ptr=row_ptr,
+            col_idx=col_idx, val=val, grid_size=coo.grid_size,
+        )
     order = np.lexsort((coo.col, coo.row))
     row = coo.row[order]
     col = coo.col[order]

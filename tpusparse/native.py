@@ -22,12 +22,34 @@ def _lib_path() -> str:
     return os.path.join(os.path.dirname(__file__), "..", "csrc", "libmtxio.so")
 
 
+def _try_build() -> bool:
+    """Build the shared library in place on first use (``make -C csrc``).  Opt out with
+    TPUSPARSE_NO_NATIVE_BUILD=1; all callers fall back to numpy implementations on failure."""
+    if os.environ.get("TPUSPARSE_NO_NATIVE_BUILD") == "1":
+        return False
+    import subprocess
+
+    csrc = os.path.dirname(os.path.abspath(_lib_path()))
+    if not os.path.exists(os.path.join(csrc, "mtxio.cpp")):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", csrc, "libmtxio.so"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     path = os.path.abspath(_lib_path())
+    if not os.path.exists(path) and not _try_build():
+        return None
     if not os.path.exists(path):
         return None
     try:
