@@ -1,0 +1,77 @@
+"""CLI smoke tests (the reference's CI smoke layer: help text, arg validation, error paths,
+then real runs — ci.yml:175-204, but here the kernels actually execute via interpret mode)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpusparse.cli import cg_solver, generate_matrix, spmv_bench
+
+
+def test_generate_matrix_roundtrip(tmp_path):
+    p = str(tmp_path / "g.mtx")
+    assert generate_matrix.main(["7", p]) == 0
+    head = open(p).readline()
+    assert head.startswith("%%MatrixMarket")
+
+
+def test_generate_matrix_rejects_bad_dim(tmp_path):
+    assert generate_matrix.main(["0", str(tmp_path / "x.mtx")]) == 2
+
+
+def test_spmv_bench_unknown_mode_fails_before_load(tmp_path):
+    # validation happens before the (nonexistent) file is touched — reference main.cu:94-105
+    assert spmv_bench.main(["/nonexistent.mtx", "--mode=notamode"]) == 2
+
+
+def test_spmv_bench_end_to_end(tmp_path, capsys):
+    mtx = str(tmp_path / "g.mtx")
+    generate_matrix.main(["9", mtx])
+    jout = str(tmp_path / "r.json")
+    csv = str(tmp_path / "r.csv")
+    rc = spmv_bench.main([mtx, "--mode=stencil5,csr", "--runs=3", "--warmup=1",
+                          f"--json={jout}", f"--csv={csv}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("=== Output Checksum ===") == 2
+    # both modes agree on the checksum lines
+    sums = [line for line in out.splitlines() if line.startswith("Sum(y)")]
+    assert len(set(sums)) == 1
+    for mode in ("stencil5", "csr"):
+        with open(str(tmp_path / f"r_{mode}.json")) as f:
+            r = json.load(f)
+        assert r["benchmark"]["mode"] == mode
+    assert len(open(csv).read().strip().splitlines()) == 3
+
+
+def test_spmv_bench_gen_spec(capsys):
+    rc = spmv_bench.main(["gen:12", "--mode=stencil5-const", "--runs=3", "--warmup=0"])
+    assert rc == 0
+    assert "stencil5-12x12" in capsys.readouterr().out
+
+
+def test_cg_solver_end_to_end(tmp_path, capsys):
+    jout = str(tmp_path / "cg.json")
+    rc = cg_solver.main(["gen:16", "--runs=3", "--warmup=1", f"--json={jout}",
+                         "--verbose=0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Converged:  YES" in out
+    with open(jout) as f:
+        r = json.load(f)
+    assert r["convergence"]["converged"] is True
+    assert r["convergence"]["iterations"] > 0
+    assert r["validation"]["solution_norm"] > 0
+
+
+def test_cg_solver_timers_mode(capsys):
+    rc = cg_solver.main(["gen:12", "--timers", "--runs=3", "--warmup=0", "--verbose=0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "SpMV:" in out  # per-phase breakdown printed
+
+
+def test_cg_solver_nonconvergence_exit_code(capsys):
+    rc = cg_solver.main(["gen:16", "--maxiter=2", "--runs=3", "--warmup=0", "--verbose=0"])
+    assert rc == 1

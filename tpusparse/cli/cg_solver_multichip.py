@@ -1,0 +1,108 @@
+"""Multi-chip sharded CG solver CLI.
+
+Role parity with the reference's ``cg_solver_mgpu_stencil`` (src/main/cg_solver_mgpu_stencil.cu):
+
+    python -m tpusparse.cli.cg_solver_multichip gen:<g> [--chips=N] [--mode=stencil5]
+        [--tol=1e-6] [--maxiter=1000] [--json=<f>] [--csv=<f>] [--runs=10] [--warmup=3]
+        [--multihost]
+
+Differences by design (SURVEY.md §2.4): no mpirun — ONE process drives all local chips through
+a ``jax.sharding.Mesh`` (multi-host pods use --multihost → ``jax.distributed.initialize()``,
+one process per host).  The reference's per-rank .mtx load / MPI_Bcast dance (:50-60) has no
+analog: the operand is synthesized directly into its sharded layout.
+
+Matches the reference protocol: hardcoded-style defaults max_iters=1000 tol=1e-6 (:77-80),
+warmup 3 (:97-106), 10-run stats (:126-131), rank-0-style single-point reporting with
+Sum(x)/Norm2(x) checksums (:163-172).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="cg_solver_multichip", description=__doc__)
+    p.add_argument("matrix", help="gen:<grid_size> (sharded operands are synthesized)")
+    p.add_argument("--chips", type=int, default=0, help="devices to use (default: all)")
+    p.add_argument("--mode", default="stencil5", choices=["stencil5", "stencil5-const"])
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--maxiter", type=int, default=1000)
+    p.add_argument("--json", default=None)
+    p.add_argument("--csv", default=None)
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() first (one process per host)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+    import jax
+    import jax.numpy as jnp
+
+    from ..bench import export, metrics, stats, sysinfo
+    from ..solvers import cg_sharded
+
+    if not args.matrix.startswith("gen:"):
+        print("[ERROR] multichip solver takes gen:<grid_size> operands", file=sys.stderr)
+        return 2
+    g = int(args.matrix[4:])
+    nchips = args.chips or jax.device_count()
+    mesh = jax.make_mesh((nchips,), ("x",), devices=jax.devices()[:nchips])
+    info = sysinfo.get_system_info()
+    is_primary = jax.process_index() == 0
+    if is_primary:
+        print(f"[INFO] mesh: {nchips} x {info['device_kind']} "
+              f"({jax.process_count()} process(es))")
+
+    from .spmv_bench import _resolve_dtype
+
+    dtype = _resolve_dtype(args.dtype) or (
+        jnp.float64 if info["backend"] == "cpu" and info["x64_enabled"] else jnp.float32
+    )
+
+    def run_solve():
+        t0 = time.perf_counter()
+        x, st = cg_sharded.cg_solve_sharded(
+            mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
+            dtype=dtype,
+        )
+        ms = (time.perf_counter() - t0) * 1e3
+        return ms, (x, st)
+
+    bench, (x, cg_stats) = stats.benchmark_solver_with_stats(
+        run_solve, num_runs=args.runs, warmup=args.warmup
+    )
+
+    op = cg_sharded.make_sharded_operator(mesh, g, mode=args.mode, dtype=dtype)
+    x_host = np.asarray(jax.device_get(x), np.float64).ravel()
+    result = export.cg_result_dict(
+        solver=f"tpusparse-cg-sharded-{nchips}chip", mode=args.mode,
+        matrix_name=f"stencil5-{g}x{g}", op=op, cg_stats=cg_stats, bench_stats=bench,
+        sysinfo=info, sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
+        gflops_spmv=metrics.cg_gflops(op.nnz, cg_stats.iterations, bench.median_ms * 0.45),
+        extra_timing={"num_chips": nchips},
+    )
+    if is_primary:
+        export.print_human_cg(result)
+        if args.json:
+            export.write_json(args.json, result)
+            print(f"[INFO] JSON written: {args.json}")
+        if args.csv:
+            export.append_csv(args.csv, result)
+    return 0 if cg_stats.converged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
