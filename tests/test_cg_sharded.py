@@ -98,3 +98,42 @@ def test_sharded_spmv_halo_correctness():
     )(op.planes, xd)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(float(pap), float(x.ravel() @ y_ref.ravel()), rtol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["stencil5", "stencil5-const"])
+def test_overlap_matches_synchronous(mode):
+    """Interior/boundary-split (overlapped halo) SpMV ≡ the synchronous formulation —
+    the correctness property the reference's abandoned overlap branches lost
+    (PROBLEM_SIZE_SCALING_RESULTS 'numerical drift')."""
+    g = 24
+    x1, s1 = cg_sharded.cg_solve_sharded(
+        _mesh(4), g, mode=mode, dtype=jnp.float64, overlap=False
+    )
+    x2, s2 = cg_sharded.cg_solve_sharded(
+        _mesh(4), g, mode=mode, dtype=jnp.float64, overlap=True
+    )
+    assert s1.iterations == s2.iterations
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12, atol=1e-14)
+
+
+def test_overlap_spmv_against_dense():
+    g = 20
+    mesh = _mesh(4)
+    st = generate.make_stencil5(g)
+    dense = formats.stencil5_to_csr(st).to_dense()
+    x = np.random.RandomState(3).randn(g, g)
+    y_ref = (dense @ x.ravel()).reshape(g, g)
+    op = cg_sharded.make_sharded_operator(mesh, g, mode="stencil5", dtype=jnp.float64,
+                                          overlap=True)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xd = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("x", None)))
+    y, pap = jax.jit(
+        jax.shard_map(
+            lambda pl_, xl: op.local_spmv_dot(pl_, xl, "x", 4),
+            mesh=mesh, in_specs=(P(None, "x", None), P("x", None)),
+            out_specs=(P("x", None), P()), check_vma=False,
+        )
+    )(op.planes, xd)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(pap), float(x.ravel() @ y_ref.ravel()), rtol=1e-12)

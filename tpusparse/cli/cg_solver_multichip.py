@@ -72,6 +72,11 @@ def main(argv=None) -> int:
         jnp.float64 if info["backend"] == "cpu" and info["x64_enabled"] else jnp.float32
     )
 
+    if g % nchips:
+        print(f"[ERROR] grid {g} not divisible by {nchips} chips; pick --chips from "
+              f"{[n for n in range(1, nchips + 1) if g % n == 0]}", file=sys.stderr)
+        return 2
+
     def run_solve():
         t0 = time.perf_counter()
         x, st = cg_sharded.cg_solve_sharded(

@@ -77,8 +77,12 @@ class ShardedOperator:
     num_cols = num_rows
     name = property(lambda self: self.mode)
 
+    overlap: bool = True
+
     def local_spmv_dot(self, planes_l, p_l, axis_name: str, axis_size: int):
         """Local band SpMV + global <p, Ap>.  Runs inside shard_map."""
+        if self.overlap and axis_size > 1 and p_l.shape[0] >= 3:
+            return self._spmv_dot_overlapped(planes_l, p_l, axis_name, axis_size)
         hp, hn = _band_halo_exchange(p_l, axis_name, axis_size)
         if self.mode == "stencil5-const":
             y, pap_local = spmv_stencil5_const_pallas(
@@ -88,10 +92,62 @@ class ShardedOperator:
             y, pap_local = spmv_stencil5_pallas(planes_l, p_l, hp, hn, with_dot=True)
         return y, jax.lax.psum(pap_local, axis_name)
 
+    def _spmv_dot_overlapped(self, planes_l, p_l, axis_name: str, axis_size: int):
+        """Interior/boundary split so the halo ppermute overlaps interior compute — the
+        improvement the reference aspired to but shipped without (its halo exchange is
+        synchronous before the SpMV, cg_solver_mgpu_partitioned.cu:692-711; README attributes
+        wins to 'kernel + volume, not overlap').
+
+        The interior rows [1, band-1) depend only on local data, so the Pallas kernel over
+        them has no data dependency on the ppermute: XLA schedules the collective-permute
+        start before the kernel and the done right before the (cheap, 2-row) boundary math.
+        """
+        band = p_l.shape[0]
+        hp, hn = _band_halo_exchange(p_l, axis_name, axis_size)
+
+        if self.mode == "stencil5-const":
+            y_core, dot_core = spmv_stencil5_const_pallas(
+                p_l[1:-1], p_l[0:1], p_l[-1:], diag=self.diag, offdiag=self.offdiag,
+                with_dot=True,
+            )
+        else:
+            y_core, dot_core = spmv_stencil5_pallas(
+                planes_l[:, 1:-1], p_l[1:-1], p_l[0:1], p_l[-1:], with_dot=True
+            )
+
+        # Boundary rows (2 of band): plain XLA math, consumes the halo rows.
+        from ..formats import C, E, N, S, W
+
+        def row_y(prow, xrow, xn_row, xs_row):
+            g = xrow.shape[1]
+            zc = jnp.zeros((1, 1), xrow.dtype)
+            xw = jnp.concatenate([zc, xrow[:, :-1]], axis=1)
+            xe = jnp.concatenate([xrow[:, 1:], zc], axis=1)
+            if self.mode == "stencil5-const":
+                gcol = jnp.arange(g).reshape(1, g)
+                mw = (gcol > 0).astype(xrow.dtype)
+                me = (gcol < g - 1).astype(xrow.dtype)
+                return self.diag * xrow + self.offdiag * (
+                    xn_row + xs_row + mw * xw + me * xe
+                )
+            return (prow[C] * xrow + prow[W] * xw + prow[E] * xe
+                    + prow[N] * xn_row + prow[S] * xs_row)
+
+        p_first = None if self.mode == "stencil5-const" else planes_l[:, 0:1]
+        p_last = None if self.mode == "stencil5-const" else planes_l[:, -1:]
+        y_first = row_y(p_first, p_l[0:1], hp, p_l[1:2])
+        y_last = row_y(p_last, p_l[-1:], p_l[-2:-1], hn)
+        y = jnp.concatenate([y_first, y_core, y_last], axis=0)
+        pap_local = (
+            dot_core.astype(p_l.dtype)
+            + jnp.vdot(p_l[0:1], y_first) + jnp.vdot(p_l[-1:], y_last)
+        )
+        return y, jax.lax.psum(pap_local, axis_name)
+
 
 def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
                           planes=None, diag: float = 5.0, offdiag: float = -1.0,
-                          dtype=jnp.float32) -> ShardedOperator:
+                          dtype=jnp.float32, overlap: bool = True) -> ShardedOperator:
     """Build the sharded operand.  For ``mode="stencil5"`` the (5, g, g) coefficient planes are
     synthesized (or accepted) and laid out row-band sharded — the analog of the reference's
     "extract + rebase the local CSR band" (:302-331), except sharding happens at construction
@@ -112,7 +168,7 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
         raise ValueError(f"sharded CG supports stencil5/stencil5-const, got {mode}")
     return ShardedOperator(
         mesh=mesh, grid_size=g, mode=mode, planes=planes, diag=diag, offdiag=offdiag,
-        dtype=dtype,
+        dtype=dtype, overlap=overlap,
     )
 
 
@@ -121,7 +177,7 @@ _SOLVER_CACHE = {}
 
 def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float):
     key = (id(op.mesh), op.grid_size, op.mode, op.diag, op.offdiag, str(op.dtype),
-           max_iters, tolerance)
+           op.overlap, max_iters, tolerance)
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
 
@@ -177,12 +233,13 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float)
 def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil5-const",
                      planes=None, diag: float = 5.0, offdiag: float = -1.0,
                      tolerance: float = 1e-6, max_iters: int = 1000, dtype=jnp.float32,
-                     config: Optional[CGConfig] = None):
+                     overlap: bool = True, config: Optional[CGConfig] = None):
     """Full sharded CG solve over the mesh.  Returns (x (g,g) row-band sharded, CGStats)."""
     if config is not None:
         tolerance, max_iters = config.tolerance, config.max_iters
     op = make_sharded_operator(
-        mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag, dtype=dtype
+        mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag, dtype=dtype,
+        overlap=overlap,
     )
     solve = _build_sharded_solver(op, max_iters, float(tolerance))
     if b is None:
