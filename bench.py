@@ -24,10 +24,12 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from tpusparse import generate
+    from tpusparse import dist, generate
+
+    dist.enable_compilation_cache()
     from tpusparse.bench.metrics import chip_peaks
     from tpusparse.bench.sysinfo import get_system_info
-    from tpusparse.kernels.stencil5 import spmv_stencil5_pallas
+    from tpusparse.kernels.stencil5 import spmv_stencil5_pipelined
 
     info = get_system_info()
     on_tpu = info["backend"] != "cpu"
@@ -39,7 +41,7 @@ def main() -> int:
     x = jax.random.normal(jax.random.PRNGKey(0), (g, g), dtype)
 
     def run(v):
-        return spmv_stencil5_pallas(planes, v)
+        return spmv_stencil5_pipelined(planes, v)
 
     # correctness gate before timing: checksum vs the analytical oracle
     y1 = run(jnp.ones((g, g), dtype))

@@ -49,9 +49,10 @@ def test_cg_iteration_parity_f64(g, mode):
     x, stats = cg.cg_solve(op.run_device_dot, bf)
     assert stats.converged
     assert stats.iterations == iters_ref, (stats.iterations, iters_ref)
-    np.testing.assert_allclose(np.asarray(x).ravel(), x_ref, rtol=1e-8, atol=1e-10)
+    x_flat = np.asarray(op.from_field(x))
+    np.testing.assert_allclose(x_flat, x_ref, rtol=1e-8, atol=1e-10)
     # true residual check, not just the recurrence residual
-    res = np.linalg.norm(b - A @ np.asarray(x).ravel()) / np.linalg.norm(b)
+    res = np.linalg.norm(b - A @ x_flat) / np.linalg.norm(b)
     assert res < 1e-6
 
 

@@ -67,9 +67,21 @@ def test_sharded_matches_single_chip_solver():
     np.testing.assert_allclose(np.asarray(x8), np.asarray(x1), rtol=1e-10, atol=1e-12)
 
 
-def test_sharded_rejects_indivisible_grid():
-    with pytest.raises(ValueError):
-        cg_sharded.make_sharded_operator(_mesh(8), 30)
+def test_sharded_indivisible_grid_padded():
+    """Grids not divisible by the mesh size get zero-coefficient pad rows (the analog of the
+    reference's last-rank-absorbs-remainder partitioning)."""
+    g = 30  # 30 % 8 != 0
+    st = generate.make_stencil5(g)
+    A = formats.stencil5_to_csr(st).to_dense()
+    b = np.ones(g * g)
+    from .test_cg import reference_cg
+
+    x_ref, iters_ref, _ = reference_cg(A, b)
+    for mode in ("stencil5", "stencil5-const"):
+        x, stats = cg_sharded.cg_solve_sharded(_mesh(8), g, mode=mode, dtype=jnp.float64)
+        assert x.shape == (g, g)
+        assert stats.iterations == iters_ref
+        np.testing.assert_allclose(np.asarray(x).ravel(), x_ref, rtol=1e-8, atol=1e-10)
 
 
 def test_sharded_spmv_halo_correctness():

@@ -133,3 +133,32 @@ def test_f32_tolerance():
         block_rows=8, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("g", [13, 16, 24, 31, 40])
+def test_pipelined_matches_dense(g):
+    """Delay-by-one pipelined variant ≡ window variant ≡ dense oracle."""
+    from tpusparse.kernels.stencil5 import spmv_stencil5_pipelined
+
+    st, dense, x, y_ref = _setup(g)
+    y, dot = spmv_stencil5_pipelined(
+        jnp.asarray(st.planes), jnp.asarray(x.reshape(g, g)), block_rows=8,
+        with_dot=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(dot), float(x @ y_ref), rtol=1e-12)
+
+
+def test_pipelined_band_with_halos():
+    from tpusparse.kernels.stencil5 import spmv_stencil5_pipelined
+
+    g = 12
+    st = generate.make_stencil5(g)
+    dense = fixtures.spd_stencil_csr(g).to_dense()
+    x = np.random.RandomState(5).randn(g, g)
+    y_ref = (dense @ x.ravel()).reshape(g, g)
+    y = spmv_stencil5_pipelined(
+        jnp.asarray(st.planes[:, 4:8]), jnp.asarray(x[4:8]),
+        jnp.asarray(x[3:4]), jnp.asarray(x[8:9]), block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), y_ref[4:8], rtol=1e-12, atol=1e-12)

@@ -72,7 +72,8 @@ BYTE_MODELS = {
     "csr": lambda op, itemsize: bytes_csr(op.nnz, op.num_rows, itemsize),
     "ell": lambda op, itemsize: bytes_csr(op.nnz, op.num_rows, itemsize),
     "bcoo": lambda op, itemsize: op.nnz * (itemsize + 8) + 2 * op.num_rows * itemsize,
-    "dia": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),  # 5 diags for stencil
+    "dia": lambda op, itemsize: (op.nnz + 2 * op.num_rows) * itemsize,  # data + x + y
+    "dia-xla": lambda op, itemsize: (op.nnz + 2 * op.num_rows) * itemsize,
     "stencil5": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),
     "stencil5-const": lambda op, itemsize: bytes_stencil5_const(op.num_rows, itemsize),
 }

@@ -38,11 +38,17 @@ def build_parser():
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
     p.add_argument("--verbose", type=int, default=1)
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="capture an XProf/TensorBoard trace of ONE extra solve (excluded "
+                        "from stats) — the reference's cudaProfilerStart/Stop run")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..dist import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from .. import ops
@@ -58,7 +64,7 @@ def main(argv=None) -> int:
 
     run_dtype = dtype or (jnp.float64 if info["backend"] == "cpu" and info["x64_enabled"]
                           else jnp.float32)
-    b = jnp.ones(op.field_shape, run_dtype)
+    b = op.ones_b(run_dtype)
     config = cg.CGConfig(max_iters=args.maxiter, tolerance=args.tol,
                          verbose=args.verbose, enable_detailed_timers=args.timers)
 
@@ -75,7 +81,13 @@ def main(argv=None) -> int:
         run_solve, num_runs=args.runs, warmup=args.warmup
     )
 
-    x_host = np.asarray(x, np.float64).ravel()
+    if args.trace:
+        from ..bench import profiling
+
+        profiling.profiled_run(lambda: run_solve()[1][0], logdir=args.trace)
+        print(f"[INFO] trace captured: {args.trace}")
+
+    x_host = np.asarray(op.from_field(x), np.float64)
     gfl = metrics.cg_gflops(op.nnz, cg_stats.iterations,
                             cg_stats.spmv_time_ms or bench.median_ms * 0.4)
     result = export.cg_result_dict(

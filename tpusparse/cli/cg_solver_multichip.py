@@ -39,11 +39,16 @@ def build_parser():
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first (one process per host)")
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="capture an XProf trace of ONE extra solve, excluded from stats")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..dist import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.multihost:
         import jax
 
@@ -72,11 +77,6 @@ def main(argv=None) -> int:
         jnp.float64 if info["backend"] == "cpu" and info["x64_enabled"] else jnp.float32
     )
 
-    if g % nchips:
-        print(f"[ERROR] grid {g} not divisible by {nchips} chips; pick --chips from "
-              f"{[n for n in range(1, nchips + 1) if g % n == 0]}", file=sys.stderr)
-        return 2
-
     def run_solve():
         t0 = time.perf_counter()
         x, st = cg_sharded.cg_solve_sharded(
@@ -89,6 +89,13 @@ def main(argv=None) -> int:
     bench, (x, cg_stats) = stats.benchmark_solver_with_stats(
         run_solve, num_runs=args.runs, warmup=args.warmup
     )
+
+    if args.trace:
+        from ..bench import profiling
+
+        profiling.profiled_run(lambda: run_solve()[1][0], logdir=args.trace)
+        if is_primary:
+            print(f"[INFO] trace captured: {args.trace}")
 
     op = cg_sharded.make_sharded_operator(mesh, g, mode=args.mode, dtype=dtype)
     x_host = np.asarray(jax.device_get(x), np.float64).ravel()

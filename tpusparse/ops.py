@@ -55,26 +55,42 @@ class DeviceOperator:
     num_rows: int
     num_cols: int
     nnz: int
-    field_shape: tuple  # (rows, cols) 2-D view of the vector space
+    field_shape: tuple  # (rows, cols) 2-D view of the vector space (may include padding)
     run_device: Callable  # x_field -> y_field
     run_device_dot: Callable  # x_field -> (y_field, <x, A x>)
     grid_size: int = 0
     _buffers: Any = None
 
+    @property
+    def field_elems(self) -> int:
+        return self.field_shape[0] * self.field_shape[1]
+
     def as_field(self, x_flat):
-        return jnp.asarray(x_flat).reshape(self.field_shape)
+        """Reshape a length-num_cols vector into the operator's 2-D field, zero-padding the
+        tail when the field is larger than the vector space (e.g. lane-padded DIA)."""
+        x = jnp.asarray(x_flat).reshape(-1)
+        if self.field_elems != x.shape[0]:
+            x = jnp.zeros((self.field_elems,), x.dtype).at[: x.shape[0]].set(x)
+        return x.reshape(self.field_shape)
+
+    def from_field(self, x_field):
+        """Flatten a field back to the length-num_rows vector (drops padding)."""
+        return jnp.asarray(x_field).reshape(-1)[: self.num_rows]
+
+    def ones_b(self, dtype):
+        """The canonical b = ones right-hand side, zero in any padded tail."""
+        return self.as_field(np.ones(self.num_cols)).astype(dtype)
 
     def run_timed(self, x_flat_host: np.ndarray):
         """Reference run_timed semantics (spmv_cusparse_csr.cu:234-264): includes the H2D of x
         and D2H of y in the timed region, kernel timed on device events — here wall clock
         around a fully synchronized call."""
         t0 = time.perf_counter()
-        xf = jnp.asarray(np.asarray(x_flat_host).reshape(self.field_shape),
-                         self._run_dtype())
+        xf = self.as_field(np.asarray(x_flat_host)).astype(self._run_dtype())
         y = self.run_device(xf)
-        y_host = np.asarray(y)
+        y_host = np.asarray(y).reshape(-1)[: self.num_rows]
         ms = (time.perf_counter() - t0) * 1e3
-        return y_host.reshape(-1), ms
+        return y_host, ms
 
     def _run_dtype(self):
         return self._buffers.get("dtype", _default_dtype()) if isinstance(
@@ -96,10 +112,10 @@ def _init_stencil5(st: Stencil5, dtype=None) -> DeviceOperator:
     interp = _is_cpu()
 
     def run_device(x):
-        return _st5.spmv_stencil5_pallas(planes, x, interpret=interp)
+        return _st5.spmv_stencil5_pipelined(planes, x, interpret=interp)
 
     def run_device_dot(x):
-        return _st5.spmv_stencil5_pallas(planes, x, with_dot=True, interpret=interp)
+        return _st5.spmv_stencil5_pipelined(planes, x, with_dot=True, interpret=interp)
 
     return DeviceOperator(
         name="stencil5", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
@@ -173,9 +189,38 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
 
 
 def _init_dia(mat, dtype=None) -> DeviceOperator:
-    """Gather-free diagonal-offset path: y = Σ_d data[d] · shift(x, off_d).  The TPU-native
-    generic formulation for banded/structured matrices (plays the reference's generic-CSR
-    kernel role, cg_solver_mgpu_partitioned.cu:40-56, without index traffic)."""
+    """Gather-free diagonal-offset Pallas kernel (kernels/dia.py): y = Σ_d data[d]·shift(x).
+    The TPU-native generic formulation for banded/structured matrices — plays the reference's
+    generic-CSR kernel role (cg_solver_mgpu_partitioned.cu:40-56) without index traffic.
+
+    The field is lane-padded to (rows128 + 2·pad_rows ... ) internally; the operator's public
+    field shape is (rows128, 128) with a zero tail."""
+    from .kernels import dia as _dia
+
+    dtype = dtype or _default_dtype()
+    csr = _as_csr(mat)
+    dia = formats.csr_to_dia(csr)
+    data128, offsets, n, nr = _dia.pack_dia_operand(dia, dtype)
+    fshape = (nr, _dia.LANES)
+
+    @jax.jit
+    def run_device(x):
+        return _dia.spmv_dia_pallas(data128, x.astype(dtype), offsets=offsets)
+
+    @jax.jit
+    def run_device_dot(x):
+        y = run_device(x)
+        return y, jnp.vdot(x, y)
+
+    return DeviceOperator(
+        name="dia", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
+        field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=csr.grid_size, _buffers={"data": data128, "dtype": dtype},
+    )
+
+
+def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
+    """Pure-XLA diagonal-offset formulation — oracle/fallback for the Pallas DIA kernel."""
     dtype = dtype or _default_dtype()
     csr = _as_csr(mat)
     dia = formats.csr_to_dia(csr)
@@ -189,7 +234,6 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
         xf = x.reshape(-1)
         y = jnp.zeros((n,), dtype)
         for d, off in enumerate(offsets):
-            # y[i] += data[d, i] * x[i + off] for valid i; implement as static slices
             lo = max(0, -off)
             hi = min(n, n - off)
             if hi <= lo:
@@ -204,7 +248,7 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
 
     return DeviceOperator(
-        name="dia", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
+        name="dia-xla", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
         grid_size=csr.grid_size, _buffers={"data": data_d, "dtype": dtype},
     )
@@ -262,6 +306,7 @@ _REGISTRY: Dict[str, Callable] = {
     "csr": lambda m, **kw: _init_ell_xla(m, **kw),
     "ell": lambda m, **kw: _init_ell_xla(m, **kw),
     "dia": lambda m, **kw: _init_dia(m, **kw),
+    "dia-xla": lambda m, **kw: _init_dia_xla(m, **kw),
     "bcoo": lambda m, **kw: _init_bcoo(m, **kw),
     "stencil5": lambda m, **kw: _init_stencil5(_as_stencil5(m), **kw),
     "stencil5-const": lambda m, **kw: _init_stencil5_const(_as_stencil5(m), **kw),

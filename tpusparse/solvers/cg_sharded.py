@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels import blas1
-from ..kernels.stencil5 import spmv_stencil5_const_pallas, spmv_stencil5_pallas
+from ..kernels.stencil5 import (
+    spmv_stencil5_const_pallas,
+    spmv_stencil5_pallas,
+    spmv_stencil5_pipelined,
+)
 from .cg import CGConfig, CGStats
 
 
@@ -64,6 +68,7 @@ class ShardedOperator:
     diag: float
     offdiag: float
     dtype: object
+    row_pad: int = 0  # zero-coefficient rows appended so bands divide evenly
 
     @property
     def nnz(self) -> int:
@@ -89,7 +94,7 @@ class ShardedOperator:
                 p_l, hp, hn, diag=self.diag, offdiag=self.offdiag, with_dot=True
             )
         else:
-            y, pap_local = spmv_stencil5_pallas(planes_l, p_l, hp, hn, with_dot=True)
+            y, pap_local = spmv_stencil5_pipelined(planes_l, p_l, hp, hn, with_dot=True)
         return y, jax.lax.psum(pap_local, axis_name)
 
     def _spmv_dot_overlapped(self, planes_l, p_l, axis_name: str, axis_size: int):
@@ -111,7 +116,7 @@ class ShardedOperator:
                 with_dot=True,
             )
         else:
-            y_core, dot_core = spmv_stencil5_pallas(
+            y_core, dot_core = spmv_stencil5_pipelined(
                 planes_l[:, 1:-1], p_l[1:-1], p_l[0:1], p_l[-1:], with_dot=True
             )
 
@@ -154,13 +159,22 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     (the reference marks that a TODO)."""
     g = grid_size
     naxis = mesh.devices.size
-    if g % naxis:
-        raise ValueError(f"grid_size {g} must be divisible by mesh size {naxis} (round 1)")
+    pad = (-g) % naxis
+    if pad and mode == "stencil5-const":
+        # Padded rows need zero coefficients to stay decoupled; only the values-carrying
+        # operand can express that, so fall back to it (reference parity: the last rank
+        # absorbs the remainder, cg_solver_mgpu_partitioned.cu:262-268 — here the padding
+        # plays that role uniformly).
+        mode = "stencil5"
     if mode == "stencil5":
         if planes is None:
             from ..generate import make_stencil5_planes_device
 
             planes = make_stencil5_planes_device(g, diag, offdiag, dtype=dtype)
+        if pad:
+            planes = jnp.concatenate(
+                [planes, jnp.zeros((5, pad, g), planes.dtype)], axis=1
+            )
         planes = jax.device_put(
             planes, NamedSharding(mesh, P(None, "x", None))
         )
@@ -168,7 +182,7 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
         raise ValueError(f"sharded CG supports stencil5/stencil5-const, got {mode}")
     return ShardedOperator(
         mesh=mesh, grid_size=g, mode=mode, planes=planes, diag=diag, offdiag=offdiag,
-        dtype=dtype, overlap=overlap,
+        dtype=dtype, overlap=overlap, row_pad=pad,
     )
 
 
@@ -244,11 +258,19 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
     solve = _build_sharded_solver(op, max_iters, float(tolerance))
     if b is None:
         b = jnp.ones((grid_size, grid_size), dtype)
+    if op.row_pad:
+        b = jnp.concatenate(
+            [b.astype(dtype), jnp.zeros((op.row_pad, grid_size), dtype)], axis=0
+        )
     b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P("x", None)))
     planes_arg = op.planes if op.mode == "stencil5" else jnp.zeros((), dtype)
     t0 = time.perf_counter()
     x, rr, k, b_norm = solve(b, planes_arg)
     x.block_until_ready()
+    if op.row_pad:
+        # Slicing a row-sharded array across shard boundaries is ambiguous for the
+        # partitioner; the padded tail is dropped host-side (callers consume x on host).
+        x = jax.device_get(x)[:grid_size]
     total_ms = (time.perf_counter() - t0) * 1e3
     rr = float(rr)
     b_norm = float(b_norm)
