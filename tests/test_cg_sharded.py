@@ -149,3 +149,14 @@ def test_overlap_spmv_against_dense():
     )(op.planes, xd)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(float(pap), float(x.ravel() @ y_ref.ravel()), rtol=1e-12)
+
+
+def test_sharded_stepped_matches_fused():
+    g = 24
+    x1, s1 = cg_sharded.cg_solve_sharded(_mesh(4), g, mode="stencil5", dtype=jnp.float64)
+    x2, s2 = cg_sharded.cg_solve_sharded_stepped(
+        _mesh(4), g, mode="stencil5", dtype=jnp.float64
+    )
+    assert s1.iterations == s2.iterations
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12)
+    assert s2.spmv_time_ms > 0 and s2.blas1_time_ms > 0

@@ -39,6 +39,8 @@ def build_parser():
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first (one process per host)")
+    p.add_argument("--timers", action="store_true",
+                   help="per-phase timing via the host-stepped sharded loop (adds syncs)")
     p.add_argument("--trace", default=None, metavar="LOGDIR",
                    help="capture an XProf trace of ONE extra solve, excluded from stats")
     return p
@@ -79,10 +81,16 @@ def main(argv=None) -> int:
 
     def run_solve():
         t0 = time.perf_counter()
-        x, st = cg_sharded.cg_solve_sharded(
-            mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
-            dtype=dtype,
-        )
+        if args.timers:
+            x, st = cg_sharded.cg_solve_sharded_stepped(
+                mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
+                dtype=dtype,
+            )
+        else:
+            x, st = cg_sharded.cg_solve_sharded(
+                mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
+                dtype=dtype,
+            )
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
 
