@@ -57,6 +57,12 @@ def main() -> int:
     if rc:
         return rc
 
+    print("\n--- [2b] baseline CG (bcoo — the independent cross-check, AmgX role) ---")
+    rc = cg_solver.main([f"gen:{g}", "--mode=bcoo", f"--runs={runs}", "--warmup=1",
+                         "--verbose=0", f"--json={jdir}/cg_baseline_bcoo.json"])
+    if rc:
+        return rc
+
     print("\n--- [3/3] sharded CG scaling ---")
     chip_counts = [n for n in (1, 2, 4, 8) if n <= ndev and g % n == 0]
     for n in chip_counts:
@@ -81,6 +87,15 @@ def main() -> int:
             cs = json.load(f)["benchmark"]["performance"]
         print(f"SpMV csr:      {cs['time_median_ms']:.3f} ms  → stencil5 speedup "
               f"{cs['time_median_ms'] / st['time_median_ms']:.2f}x")
+    with open(f"{jdir}/cg_single.json") as f:
+        ours = json.load(f)
+    with open(f"{jdir}/cg_baseline_bcoo.json") as f:
+        base_cg = json.load(f)
+    t_ours = ours["timing"]["total_median_ms"]
+    t_base = base_cg["timing"]["total_median_ms"]
+    same_iters = ours["convergence"]["iterations"] == base_cg["convergence"]["iterations"]
+    print(f"CG stencil5 vs bcoo baseline: {t_ours:.2f} vs {t_base:.2f} ms "
+          f"({t_base / t_ours:.2f}x, iterations {'match' if same_iters else 'DIFFER'})")
     base = None
     print(f"\n{'chips':>5} {'median ms':>10} {'iters':>6} {'speedup':>8} {'efficiency':>10}")
     for n in chip_counts:
