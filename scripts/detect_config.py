@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Environment / problem-size detection — the reference's scripts/setup/detect_gpu_config.sh
+analog (max matrix size from VRAM x safety factor).
+
+Prints the device inventory and the largest stencil grid that fits per mode.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def max_grid(hbm_bytes: float, itemsize: int, words_per_point: float,
+             safety: float = 0.85) -> int:
+    # words_per_point: persistent arrays per grid point (planes + CG vectors)
+    import math
+
+    g = math.isqrt(int(hbm_bytes * safety / (words_per_point * itemsize)))
+    return g - g % 128  # lane-aligned
+
+
+def main() -> int:
+    import jax
+
+    from tpusparse.bench import sysinfo
+
+    info = sysinfo.get_system_info()
+    print(f"device:      {info['device_kind']} x{info['num_devices']} "
+          f"({info['num_processes']} process(es))")
+    print(f"jax:         {info['jax_version']} (backend={info['backend']}, "
+          f"x64={info['x64_enabled']})")
+    print(f"peak HBM:    {info['peak_hbm_gbs']} GB/s per chip")
+    hbm = info.get("hbm_bytes_limit") or 16e9
+    print(f"HBM budget:  {hbm / 1e9:.1f} GB per chip")
+    n = info["num_devices"]
+    # persistent words/pt: values CG = 5 planes + x,b,r,p,Ap = 10; const CG = 5
+    for name, wpp in (("stencil5 CG (values)", 10), ("stencil5-const CG", 5),
+                      ("SpMV only (values)", 7)):
+        g1 = max_grid(hbm, 4, wpp)
+        gn = max_grid(hbm * n, 4, wpp)
+        print(f"max grid f32 {name:22s}: {g1:>7,} single chip | {gn:>7,} on {n} chips")
+    from tpusparse import native
+
+    print(f"native io:   {'built' if native.available() else 'numpy fallback'}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

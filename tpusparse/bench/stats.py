@@ -98,3 +98,13 @@ def benchmark_solver_with_stats(run_solve: Callable[[], tuple], *, num_runs: int
         payloads.append(payload)
     stats = compute_stats(times)
     return stats, payloads[stats.median_run_index]
+
+
+# Named warmup/measure presets (reference performance_benchmarks.hpp:70-110:
+# quick(1/3), default(3/10), comprehensive(5/20), stress(2/100)).
+BENCH_PRESETS = {
+    "quick": {"warmup": 1, "num_runs": 3},
+    "default": {"warmup": 3, "num_runs": 10},
+    "comprehensive": {"warmup": 5, "num_runs": 20},
+    "stress": {"warmup": 2, "num_runs": 100},
+}
