@@ -100,12 +100,12 @@ def cg_solve(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = Non
       spmv: optional plain ``x -> A·x`` used once for r₀ when x0 ≠ 0.
     """
     config = config or CGConfig()
-    solve = _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret,
-                          config.max_iters, float(config.tolerance))
+    solve, consts = _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret,
+                                  config.max_iters, float(config.tolerance), b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     t0 = time.perf_counter()
-    x, rr, k, b_norm = solve(b, x0)
+    x, rr, k, b_norm = solve(b, x0, *consts)
     x.block_until_ready()
     rr = float(rr)
     k = int(k)
@@ -125,23 +125,37 @@ def cg_solve(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = Non
 _SOLVER_CACHE = {}
 
 
-def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolerance):
-    key = (id(spmv_dot), id(spmv), use_pallas_blas1, interpret, max_iters, tolerance)
+def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolerance,
+                  example_b):
+    """Build the jitted solve.  The operator callables typically close over large device
+    arrays (coefficient planes, ELL tables); ``jax.closure_convert`` hoists those captures
+    into explicit runtime arguments so they are NOT embedded as constants in the compiled
+    program (a 2 GB inline constant breaks remote compilation and bloats every executable).
+
+    Returns (solve, consts): call ``solve(b, x0, *consts)``."""
+    key = (id(spmv_dot), id(spmv), use_pallas_blas1, interpret, max_iters, tolerance,
+           example_b.shape, str(example_b.dtype))
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
 
-    step = make_cg_step(spmv_dot, use_pallas_blas1=use_pallas_blas1, interpret=interpret)
+    spmv_dot_c, dot_consts = jax.closure_convert(spmv_dot, example_b)
+    if spmv is not None:
+        spmv_c, spmv_consts = jax.closure_convert(spmv, example_b)
+    else:
+        spmv_c, spmv_consts = None, []
+    n_dot = len(dot_consts)
 
     @jax.jit
-    def solve(b, x0):
-        if spmv is None:
-            # x₀ = 0 fast path: r₀ = b (checked statically impossible; rely on caller passing
-            # spmv when x0 may be nonzero).  We still compute r₀ = b − A·x₀ generically if a
-            # plain spmv was provided.
+    def solve(b, x0, *consts):
+        dc = consts[:n_dot]
+        sc = consts[n_dot:]
+        step = make_cg_step(lambda p: spmv_dot_c(p, *dc),
+                            use_pallas_blas1=use_pallas_blas1, interpret=interpret)
+        if spmv_c is None:
+            # x₀ = 0 fast path: r₀ = b (callers pass spmv when x0 may be nonzero)
             r0 = b
         else:
-            ax0 = spmv(x0)
-            r0 = b - ax0
+            r0 = b - spmv_c(x0, *sc)
         if use_pallas_blas1:
             rr0 = blas1.dot_pallas(r0, r0, interpret=interpret)
         else:
@@ -157,8 +171,9 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
         x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
         return x, rr, k, b_norm
 
-    _SOLVER_CACHE[key] = solve
-    return solve
+    result = (solve, tuple(dot_consts) + tuple(spmv_consts))
+    _SOLVER_CACHE[key] = result
+    return result
 
 
 def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = None,
