@@ -162,3 +162,20 @@ def test_pipelined_band_with_halos():
         jnp.asarray(x[3:4]), jnp.asarray(x[8:9]), block_rows=8, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(y), y_ref[4:8], rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("pattern", list(__import__("tests.helpers", fromlist=["Pattern"]).Pattern))
+def test_input_patterns(pattern):
+    """All canonical input patterns through the kernel (reference cuda_test_utils input
+    pattern coverage, hpp:35-43)."""
+    from .helpers import Pattern, compare_vectors, make_input
+
+    g = 16
+    st, dense, _, _ = _setup(g)
+    x = make_input(g * g, pattern)
+    y_ref = dense @ x
+    y = spmv_stencil5_pallas(
+        jnp.asarray(st.planes), jnp.asarray(x.reshape(g, g)), block_rows=8, interpret=True
+    )
+    res = compare_vectors(np.asarray(y).ravel(), y_ref, tier="standard")
+    assert res.passed, res.first_failures
