@@ -73,7 +73,7 @@ def main(argv=None) -> int:
         if args.timers:
             x, st = cg.cg_solve_stepped(op.run_device_dot, b, config=config)
         else:
-            x, st = cg.cg_solve(op.run_device_dot, b, config=config)
+            x, st = cg.cg_solve(op, b, config=config)
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
 

@@ -60,6 +60,13 @@ class DeviceOperator:
     run_device_dot: Callable  # x_field -> (y_field, <x, A x>)
     grid_size: int = 0
     _buffers: Any = None
+    # Explicit-operand forms: the CG solver jits over these so large device arrays enter the
+    # compiled program as runtime ARGUMENTS, never as inline constants (a 2 GB inline constant
+    # breaks compilation at 10k+ grids).  ``operands`` is any pytree of device arrays;
+    # ``run_device_dot_op(x, operands) -> (y, <x,Ax>)``.
+    operands: Any = ()
+    run_device_op: Optional[Callable] = None
+    run_device_dot_op: Optional[Callable] = None
 
     @property
     def field_elems(self) -> int:
@@ -117,10 +124,18 @@ def _init_stencil5(st: Stencil5, dtype=None) -> DeviceOperator:
     def run_device_dot(x):
         return _st5.spmv_stencil5_pipelined(planes, x, with_dot=True, interpret=interp)
 
+    def run_device_op(x, operands):
+        return _st5.spmv_stencil5_pipelined(operands[0], x, interpret=interp)
+
+    def run_device_dot_op(x, operands):
+        return _st5.spmv_stencil5_pipelined(operands[0], x, with_dot=True, interpret=interp)
+
     return DeviceOperator(
         name="stencil5", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
         field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
         grid_size=g, _buffers={"planes": planes, "dtype": dtype},
+        operands=(planes,), run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
     )
 
 
@@ -144,6 +159,8 @@ def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
         name="stencil5-const", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
         field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
         grid_size=g, _buffers={"dtype": dtype},
+        operands=(), run_device_op=lambda x, _o: run_device(x),
+        run_device_dot_op=lambda x, _o: run_device_dot(x),
     )
 
 
@@ -181,10 +198,21 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
         y = run_device(x)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
 
+    def run_device_op(x, operands):
+        cols, vals = operands
+        y = jnp.sum(vals * x.reshape(-1)[cols], axis=1)
+        return y.reshape(fshape)
+
+    def run_device_dot_op(x, operands):
+        y = run_device_op(x, operands)
+        return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
     return DeviceOperator(
         name="csr", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
         grid_size=csr.grid_size, _buffers={"col": cols_d, "val": vals_d, "dtype": dtype},
+        operands=(cols_d, vals_d), run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
     )
 
 
@@ -212,10 +240,19 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
         y = run_device(x)
         return y, jnp.vdot(x, y)
 
+    def run_device_op(x, operands):
+        return _dia.spmv_dia_pallas(operands[0], x.astype(dtype), offsets=offsets)
+
+    def run_device_dot_op(x, operands):
+        y = run_device_op(x, operands)
+        return y, jnp.vdot(x, y)
+
     return DeviceOperator(
         name="dia", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
         grid_size=csr.grid_size, _buffers={"data": data128, "dtype": dtype},
+        operands=(data128,), run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
     )
 
 
@@ -251,6 +288,8 @@ def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
         name="dia-xla", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
         grid_size=csr.grid_size, _buffers={"data": data_d, "dtype": dtype},
+        operands=(), run_device_op=lambda x, _o: run_device(x),
+        run_device_dot_op=lambda x, _o: run_device_dot(x),
     )
 
 
@@ -279,10 +318,19 @@ def _init_bcoo(mat, dtype=None) -> DeviceOperator:
         y = run_device(x)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
 
+    def run_device_op(x, operands):
+        return (operands[0] @ x.reshape(-1)).reshape(fshape)
+
+    def run_device_dot_op(x, operands):
+        y = run_device_op(x, operands)
+        return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
     return DeviceOperator(
         name="bcoo", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
         grid_size=csr.grid_size, _buffers={"bcoo": bcoo, "dtype": dtype},
+        operands=(bcoo,), run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
     )
 
 

@@ -88,24 +88,39 @@ def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,
     return step
 
 
-def cg_solve(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = None,
+def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = None,
              spmv: Optional[Callable] = None, use_pallas_blas1: bool = True,
              interpret: bool = False):
     """Device-resident CG solve.  Returns (x, CGStats).
 
     Args:
-      spmv_dot: ``p -> (A·p, <p, A·p>)`` — fused operator (ops.py registry provides it).
+      operator_or_spmv_dot: either an ops.DeviceOperator (preferred — its large device
+        operands enter the jitted solve as runtime ARGUMENTS, never inline constants), or a
+        bare callable ``p -> (A·p, <p, A·p>)`` (convenient for tests/small problems; any
+        arrays it closes over get embedded as constants in the compiled program).
       b: right-hand side as a 2-D field (any (rows, cols) factorization of n).
       x0: initial guess (default zeros, the reference CLI default cg_solver.cu:124-128).
       spmv: optional plain ``x -> A·x`` used once for r₀ when x0 ≠ 0.
     """
     config = config or CGConfig()
-    solve, consts = _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret,
-                                  config.max_iters, float(config.tolerance), b)
+    if hasattr(operator_or_spmv_dot, "run_device_dot_op") and \
+            operator_or_spmv_dot.run_device_dot_op is not None:
+        op = operator_or_spmv_dot
+        spmv_dot = op.run_device_dot_op
+        operands = op.operands
+        spmv_op = (lambda x, o: op.run_device_op(x, o)) if spmv is not None else None
+        key_id = ("op", op.name, op.num_rows, id(op.run_device_dot_op))
+    else:
+        spmv_dot = lambda p, _o: operator_or_spmv_dot(p)  # noqa: E731
+        operands = ()
+        spmv_op = (lambda x, _o: spmv(x)) if spmv is not None else None
+        key_id = ("fn", id(operator_or_spmv_dot), id(spmv))
+    solve = _build_solver(spmv_dot, spmv_op, use_pallas_blas1, interpret,
+                          config.max_iters, float(config.tolerance), b, key_id)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     t0 = time.perf_counter()
-    x, rr, k, b_norm = solve(b, x0, *consts)
+    x, rr, k, b_norm = solve(b, x0, operands)
     x.block_until_ready()
     rr = float(rr)
     k = int(k)
@@ -126,36 +141,24 @@ _SOLVER_CACHE = {}
 
 
 def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolerance,
-                  example_b):
-    """Build the jitted solve.  The operator callables typically close over large device
-    arrays (coefficient planes, ELL tables); ``jax.closure_convert`` hoists those captures
-    into explicit runtime arguments so they are NOT embedded as constants in the compiled
-    program (a 2 GB inline constant breaks remote compilation and bloats every executable).
-
-    Returns (solve, consts): call ``solve(b, x0, *consts)``."""
-    key = (id(spmv_dot), id(spmv), use_pallas_blas1, interpret, max_iters, tolerance,
+                  example_b, key_id):
+    """Build the jitted solve.  ``spmv_dot(p, operands)`` / ``spmv(x, operands)`` take the
+    operator's device arrays explicitly so they enter the compiled program as runtime
+    arguments, never inline constants.  Call ``solve(b, x0, operands)``."""
+    key = (key_id, use_pallas_blas1, interpret, max_iters, tolerance,
            example_b.shape, str(example_b.dtype))
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
 
-    spmv_dot_c, dot_consts = jax.closure_convert(spmv_dot, example_b)
-    if spmv is not None:
-        spmv_c, spmv_consts = jax.closure_convert(spmv, example_b)
-    else:
-        spmv_c, spmv_consts = None, []
-    n_dot = len(dot_consts)
-
     @jax.jit
-    def solve(b, x0, *consts):
-        dc = consts[:n_dot]
-        sc = consts[n_dot:]
-        step = make_cg_step(lambda p: spmv_dot_c(p, *dc),
+    def solve(b, x0, operands):
+        step = make_cg_step(lambda p: spmv_dot(p, operands),
                             use_pallas_blas1=use_pallas_blas1, interpret=interpret)
-        if spmv_c is None:
+        if spmv is None:
             # x₀ = 0 fast path: r₀ = b (callers pass spmv when x0 may be nonzero)
             r0 = b
         else:
-            r0 = b - spmv_c(x0, *sc)
+            r0 = b - spmv(x0, operands)
         if use_pallas_blas1:
             rr0 = blas1.dot_pallas(r0, r0, interpret=interpret)
         else:
@@ -171,9 +174,8 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
         x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
         return x, rr, k, b_norm
 
-    result = (solve, tuple(dot_consts) + tuple(spmv_consts))
-    _SOLVER_CACHE[key] = result
-    return result
+    _SOLVER_CACHE[key] = solve
+    return solve
 
 
 def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = None,
