@@ -123,11 +123,13 @@ inline const char* parse_f64(const char* p, const char* end, double* out) {
     } else if (exp10 < 0 && exp10 >= -22) {
         v /= pow10[-exp10];
     } else {
+        // |exp10| > 22: exact scaling is not representable in one multiply; strtod decides.
+        // buf starts at `start` (sign included), so no extra negation here.
         char buf[64];
         size_t span = std::min<size_t>(static_cast<size_t>(p - start), sizeof(buf) - 1);
         memcpy(buf, start, span);
         buf[span] = '\0';
-        v = strtod(buf, nullptr);
+        *out = strtod(buf, nullptr);
         return p;
     }
     *out = neg ? -v : v;

@@ -77,12 +77,15 @@ def main() -> int:
     print("\n" + "=" * 70)
     print("SUMMARY")
     print("=" * 70)
-    with open(f"{jdir}/spmv_stencil5.json") as f:
-        st = json.load(f)["benchmark"]["performance"]
-    print(f"SpMV stencil5: {st['time_median_ms']:.3f} ms, {st['bandwidth_gbs']:.1f} GB/s "
-          f"({100 * st['roofline_fraction']:.1f}% roofline)")
+    st = None
+    st_path = f"{jdir}/spmv_stencil5.json"
+    if os.path.exists(st_path):
+        with open(st_path) as f:
+            st = json.load(f)["benchmark"]["performance"]
+        print(f"SpMV stencil5: {st['time_median_ms']:.3f} ms, {st['bandwidth_gbs']:.1f} GB/s "
+              f"({100 * st['roofline_fraction']:.1f}% roofline)")
     csr_path = f"{jdir}/spmv_csr.json"
-    if os.path.exists(csr_path):
+    if st and os.path.exists(csr_path):
         with open(csr_path) as f:
             cs = json.load(f)["benchmark"]["performance"]
         print(f"SpMV csr:      {cs['time_median_ms']:.3f} ms  → stencil5 speedup "

@@ -119,3 +119,27 @@ def test_cg_f32_converges_with_relaxed_tol():
     A = formats.stencil5_to_csr(st).to_dense()
     res = np.linalg.norm(np.ones(g * g) - A @ np.asarray(x, np.float64).ravel())
     assert res / g < 1e-3
+
+
+def test_cg_nonzero_x0_operator_path():
+    """Passing the operator itself with a nonzero x0 must use r0 = b - A x0 automatically
+    (regression: the operator path used to silently take the x0 = 0 fast path)."""
+    g = 12
+    st = generate.make_stencil5(g)
+    A = formats.stencil5_to_csr(st).to_dense()
+    op = ops.get_operator("stencil5", st, dtype=jnp.float64)
+    b = op.as_field(np.ones(g * g)).astype(jnp.float64)
+    x0 = op.as_field(np.random.RandomState(1).randn(g * g)).astype(jnp.float64)
+    x, stats = cg.cg_solve(op, b, x0)
+    assert stats.converged
+    res = np.linalg.norm(np.ones(g * g) - A @ np.asarray(x).ravel())
+    assert res / g < 1e-5
+
+
+def test_cg_bare_callable_nonzero_x0_requires_spmv():
+    g = 8
+    st = generate.make_stencil5(g)
+    op = ops.get_operator("stencil5", st, dtype=jnp.float64)
+    b = op.as_field(np.ones(g * g)).astype(jnp.float64)
+    with pytest.raises(ValueError, match="nonzero x0"):
+        cg.cg_solve(op.run_device_dot, b, b)

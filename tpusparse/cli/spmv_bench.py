@@ -89,9 +89,11 @@ def main(argv=None) -> int:
             lambda: op.run_timed(x)[1], num_runs=args.runs, warmup=args.warmup
         )
         y, _ = op.run_timed(x)
+        default_np = (np.float64 if info["backend"] == "cpu" and info["x64_enabled"]
+                      else np.float32)
         itemsize = np.dtype(
             {"f32": np.float32, "f64": np.float64, "bf16": np.float16}.get(
-                args.dtype, np.float32 if info["backend"] != "cpu" else np.float64
+                args.dtype, default_np
             )
         ).itemsize
         mets = metrics.calculate_spmv_metrics(

@@ -105,7 +105,7 @@ def _write_stencil5_python(path, grid_size, diag, offdiag, chunk_rows=512) -> in
                 recs.append((base[:-1], base[:-1] + 1, np.full(g - 1, offdiag)))
                 for r, c, v in recs:
                     for rr, cc, vv in zip(r, c, v):
-                        lines.append(f"{rr} {cc} {vv:.1f}\n")
+                        lines.append(f"{rr} {cc} {vv:.17g}\n")
             f.write("".join(lines))
     return nnz
 

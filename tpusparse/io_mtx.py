@@ -66,7 +66,7 @@ def load_matrix_market(path: str) -> COOMatrix:
         with open(path, "r") as f:
             f.readline()  # banner
             rows, cols, nnz, grid = _read_header(f)
-            data = np.loadtxt(f, dtype=np.float64, ndmin=2)
+            data = np.loadtxt(f, dtype=np.float64, ndmin=2, comments="%")
         if data.size == 0:
             data = np.zeros((0, 3))
         if data.shape[0] != nnz:

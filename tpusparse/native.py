@@ -48,7 +48,14 @@ def _load():
         return _LIB
     _TRIED = True
     path = os.path.abspath(_lib_path())
-    if not os.path.exists(path) and not _try_build():
+    src = os.path.join(os.path.dirname(path), "mtxio.cpp")
+    stale = (
+        os.path.exists(path) and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if (not os.path.exists(path) or stale) and not _try_build():
+        if stale:
+            return None  # refuse to load a .so older than its source
         return None
     if not os.path.exists(path):
         return None

@@ -183,7 +183,8 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
     dtype = dtype or _default_dtype()
     csr = _as_csr(mat)
     ell = formats.csr_to_ell(csr, width)
-    cols_d = jnp.asarray(ell.col, jnp.int32)
+    idx_dtype = jnp.int32 if csr.num_cols < 2 ** 31 else jnp.int64
+    cols_d = jnp.asarray(ell.col, idx_dtype)
     vals_d = jnp.asarray(ell.val, dtype)
     fshape = _field_shape_for(csr.num_rows)
 
@@ -301,8 +302,9 @@ def _init_bcoo(mat, dtype=None) -> DeviceOperator:
     dtype = dtype or _default_dtype()
     csr = _as_csr(mat)
     coo = formats.csr_to_coo(csr)
+    idx_dtype = jnp.int32 if max(csr.num_rows, csr.num_cols) < 2 ** 31 else jnp.int64
     indices = jnp.stack(
-        [jnp.asarray(coo.row, jnp.int32), jnp.asarray(coo.col, jnp.int32)], axis=1
+        [jnp.asarray(coo.row, idx_dtype), jnp.asarray(coo.col, idx_dtype)], axis=1
     )
     bcoo = jsparse.BCOO(
         (jnp.asarray(coo.val, dtype), indices), shape=(csr.num_rows, csr.num_cols)

@@ -103,18 +103,25 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
       spmv: optional plain ``x -> A·x`` used once for r₀ when x0 ≠ 0.
     """
     config = config or CGConfig()
+    nonzero_x0 = x0 is not None
     if hasattr(operator_or_spmv_dot, "run_device_dot_op") and \
             operator_or_spmv_dot.run_device_dot_op is not None:
         op = operator_or_spmv_dot
         spmv_dot = op.run_device_dot_op
         operands = op.operands
-        spmv_op = (lambda x, o: op.run_device_op(x, o)) if spmv is not None else None
-        key_id = ("op", op.name, op.num_rows, id(op.run_device_dot_op))
+        # the operator carries its own plain SpMV: nonzero x0 needs no extra argument
+        spmv_op = op.run_device_op if nonzero_x0 else None
+        key_id = ("op", op.name, op.num_rows, id(op.run_device_dot_op), nonzero_x0)
     else:
+        if nonzero_x0 and spmv is None:
+            raise ValueError(
+                "nonzero x0 with a bare spmv_dot callable requires the plain `spmv` "
+                "callable for r0 = b - A x0 (or pass the DeviceOperator itself)"
+            )
         spmv_dot = lambda p, _o: operator_or_spmv_dot(p)  # noqa: E731
         operands = ()
-        spmv_op = (lambda x, _o: spmv(x)) if spmv is not None else None
-        key_id = ("fn", id(operator_or_spmv_dot), id(spmv))
+        spmv_op = (lambda x, _o: spmv(x)) if nonzero_x0 else None
+        key_id = ("fn", id(operator_or_spmv_dot), id(spmv), nonzero_x0)
     solve = _build_solver(spmv_dot, spmv_op, use_pallas_blas1, interpret,
                           config.max_iters, float(config.tolerance), b, key_id)
     if x0 is None:
@@ -155,14 +162,21 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
         step = make_cg_step(lambda p: spmv_dot(p, operands),
                             use_pallas_blas1=use_pallas_blas1, interpret=interpret)
         if spmv is None:
-            # x₀ = 0 fast path: r₀ = b (callers pass spmv when x0 may be nonzero)
+            # x₀ = 0 fast path: r₀ = b
             r0 = b
+            if use_pallas_blas1:
+                rr0 = blas1.dot_pallas(r0, r0, interpret=interpret)
+            else:
+                rr0 = jnp.vdot(r0, r0)
         else:
-            r0 = b - spmv(x0, operands)
-        if use_pallas_blas1:
-            rr0 = blas1.dot_pallas(r0, r0, interpret=interpret)
-        else:
-            rr0 = jnp.vdot(r0, r0)
+            ax0 = spmv(x0, operands)
+            if use_pallas_blas1:
+                # fused r0 = 1·b + (−1)·A·x0 and <r0, r0> in one HBM pass
+                one = jnp.ones((), b.dtype)
+                r0, rr0 = blas1.axpby_dot_pallas(one, b, -one, ax0, interpret=interpret)
+            else:
+                r0 = b - ax0
+                rr0 = jnp.vdot(r0, r0)
         b_norm = jnp.sqrt(rr0)
         tol2 = (tolerance * tolerance) * rr0  # converged ⇔ rr < tol²·‖b‖²
 
