@@ -47,11 +47,19 @@ def plan_dia(offsets, n_rows128: int):
     return qs, min_q, max_q
 
 
+def _win_rows(bnr: int, min_q: int, max_q: int) -> int:
+    """VMEM x-window height per block.  MUST be a multiple of 8: a DMA whose sublane count is
+    not 8-aligned faults the TPU (verified on v5e — the worker process crashes outright).
+    Unaligned *start* offsets are fine; only the row count needs alignment."""
+    need = bnr + (max_q - min_q) + 1
+    return need + (-need) % 8
+
+
 def _dia_kernel(data_ref, x_hbm, y_ref, win_ref, sem, *, offsets_qs, min_q, max_q,
                 bnr: int, pad_rows: int):
     i = pl.program_id(0)
     # DMA the x window for this block: padded-x rows [i*bnr + pad_rows + min_q, ... + win_rows)
-    win_rows = bnr + (max_q - min_q) + 1
+    win_rows = _win_rows(bnr, min_q, max_q)
     w0 = i * bnr + pad_rows + min_q
     dma = pltpu.make_async_copy(x_hbm.at[pl.ds(w0, win_rows), :], win_ref, sem)
     dma.start()
@@ -92,12 +100,14 @@ def spmv_dia_pallas(data128, x128, *, offsets: tuple, block_rows128: int = 0,
     bnr = min(bnr, nr if nr < 8 else nr - nr % 8 if nr % 8 else nr)
     if bnr % 8 and nr >= 8:
         bnr -= bnr % 8
-    win_rows = bnr + (max_q - min_q) + 1
-    # Zero-pad so every block's window DMA stays in range: the top needs |min_q|+1 rows, the
-    # bottom needs max_q+1 plus the final partial block's overrun.
+    win_rows = _win_rows(bnr, min_q, max_q)
+    # Zero-pad so every block's window DMA stays in range: the top needs |min_q| rows; the
+    # bottom must cover the LAST block's full (8-aligned) window:
+    #   last w0 + win_rows = (nblocks-1)*bnr + pad_rows + min_q + win_rows
+    #   ≤ pad_rows + nr + pad_bottom.
     nblocks = -(-nr // bnr)
     pad_rows = max(-min_q, max_q + 1, 1)
-    pad_bottom = pad_rows + (nblocks * bnr - nr)
+    pad_bottom = max((nblocks - 1) * bnr + min_q + win_rows - nr, 1)
     x_padded128 = jnp.concatenate(
         [
             jnp.zeros((pad_rows, LANES), x128.dtype),
@@ -115,7 +125,7 @@ def spmv_dia_pallas(data128, x128, *, offsets: tuple, block_rows128: int = 0,
         grid=(pl.cdiv(nr, bnr),),
         in_specs=[
             pl.BlockSpec((ndiag, bnr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual window DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual window DMA
         ],
         out_specs=pl.BlockSpec((bnr, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nr, LANES), x_padded128.dtype),

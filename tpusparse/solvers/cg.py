@@ -88,8 +88,18 @@ def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,
     return step
 
 
+def _resolve_blas1(use_pallas_blas1):
+    """None → backend default.  Measured on v5e (10240², 14-iter solve): the XLA-fused
+    elementwise/reduction phases run the loop at 157 ms vs 166 ms with the hand Pallas BLAS1
+    kernels — XLA's fusion already saturates HBM for these pure-streaming phases, so it is the
+    TPU default.  CPU (interpret mode) keeps the Pallas path as the in-loop kernel coverage."""
+    if use_pallas_blas1 is None:
+        return jax.default_backend() == "cpu"
+    return use_pallas_blas1
+
+
 def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = None,
-             spmv: Optional[Callable] = None, use_pallas_blas1: bool = True,
+             spmv: Optional[Callable] = None, use_pallas_blas1: Optional[bool] = None,
              interpret: bool = False):
     """Device-resident CG solve.  Returns (x, CGStats).
 
@@ -103,6 +113,7 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
       spmv: optional plain ``x -> A·x`` used once for r₀ when x0 ≠ 0.
     """
     config = config or CGConfig()
+    use_pallas_blas1 = _resolve_blas1(use_pallas_blas1)
     nonzero_x0 = x0 is not None
     if hasattr(operator_or_spmv_dot, "run_device_dot_op") and \
             operator_or_spmv_dot.run_device_dot_op is not None:
@@ -127,11 +138,13 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
     if x0 is None:
         x0 = jnp.zeros_like(b)
     t0 = time.perf_counter()
-    x, rr, k, b_norm = solve(b, x0, operands)
+    x, scalars = solve(b, x0, operands)
+    # ONE device→host transfer for (rr, k, b_norm): separate float()/int() readbacks each
+    # cost a full round trip on remote deployments (~25 ms measured) and were dominating
+    # the solve wall time.  Fetching the packed scalars is also the completion sync.
+    rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
+    k = int(k_f)
     x.block_until_ready()
-    rr = float(rr)
-    k = int(k)
-    b_norm = float(b_norm)
     total_ms = (time.perf_counter() - t0) * 1e3
     res = rr ** 0.5
     stats = CGStats(
@@ -186,14 +199,15 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
 
         state0 = (x0, r0, r0, rr0, jnp.zeros((), jnp.int32))
         x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
-        return x, rr, k, b_norm
+        sdt = rr.dtype  # f32 accumulator (f64 on CPU x64); k ≤ max_iters fits exactly
+        return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
     _SOLVER_CACHE[key] = solve
     return solve
 
 
 def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfig] = None,
-                     spmv: Optional[Callable] = None, use_pallas_blas1: bool = True,
+                     spmv: Optional[Callable] = None, use_pallas_blas1: Optional[bool] = None,
                      interpret: bool = False):
     """Host-stepped CG with per-phase wall timing — the ``--timers`` mode.
 
@@ -201,6 +215,7 @@ def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfi
     phase-split stepping costs sync overhead, so it is a diagnostic mode, not the perf path.
     Returns (x, CGStats) with spmv/blas1/reduction breakdowns."""
     config = config or CGConfig()
+    use_pallas_blas1 = _resolve_blas1(use_pallas_blas1)
     if x0 is None:
         x0 = jnp.zeros_like(b)
         r = b

@@ -40,7 +40,7 @@ from ..kernels.stencil5 import (
     spmv_stencil5_pallas,
     spmv_stencil5_pipelined,
 )
-from .cg import CGConfig, CGStats
+from .cg import CGConfig, CGStats, _resolve_blas1
 
 
 def _band_halo_exchange(field_block, axis_name: str, axis_size: int):
@@ -202,9 +202,10 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
 _SOLVER_CACHE = {}
 
 
-def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float):
+def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
+                          use_pallas_blas1: bool):
     key = (id(op.mesh), op.grid_size, op.mode, op.diag, op.offdiag, str(op.dtype),
-           op.overlap, max_iters, tolerance)
+           op.overlap, max_iters, tolerance, use_pallas_blas1)
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
 
@@ -232,20 +233,30 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float)
             x, r, p, rr, k = state
             ap, pap = spmv_dot(p)
             alpha = (rr / pap).astype(x.dtype)
-            x, r, rr_local = blas1.cg_update_pallas(alpha, x, r, p, ap)
+            if use_pallas_blas1:
+                x, r, rr_local = blas1.cg_update_pallas(alpha, x, r, p, ap)
+            else:
+                x = x + alpha * p
+                r = r - alpha * ap
+                rr_local = jnp.vdot(r, r)
             rr_new = jax.lax.psum(rr_local, axis)
             beta = (rr_new / rr).astype(x.dtype)
-            p = blas1.p_update_pallas(beta, r, p)
+            if use_pallas_blas1:
+                p = blas1.p_update_pallas(beta, r, p)
+            else:
+                p = r + beta * p
             return x, r, p, rr_new, k + 1
 
         state0 = (jnp.zeros_like(b_l), r0, r0, rr0, jnp.zeros((), jnp.int32))
         x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
-        return x, rr, k, b_norm
+        sdt = rr.dtype
+        # pack the result scalars: ONE device→host transfer in the caller (see cg.py)
+        return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
     in_specs = (P(axis, None), P(None, axis, None) if has_planes else P())
     sharded = jax.shard_map(
         local_cg, mesh=mesh, in_specs=in_specs,
-        out_specs=(P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P()),
         check_vma=False,
     )
 
@@ -260,7 +271,8 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float)
 def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil5-const",
                      planes=None, diag: float = 5.0, offdiag: float = -1.0,
                      tolerance: float = 1e-6, max_iters: int = 1000, dtype=jnp.float32,
-                     overlap: bool = True, config: Optional[CGConfig] = None):
+                     overlap: bool = True, config: Optional[CGConfig] = None,
+                     use_pallas_blas1: Optional[bool] = None):
     """Full sharded CG solve over the mesh.  Returns (x (g,g) row-band sharded, CGStats)."""
     if config is not None:
         tolerance, max_iters = config.tolerance, config.max_iters
@@ -268,7 +280,8 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
         mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag, dtype=dtype,
         overlap=overlap,
     )
-    solve = _build_sharded_solver(op, max_iters, float(tolerance))
+    solve = _build_sharded_solver(op, max_iters, float(tolerance),
+                                  _resolve_blas1(use_pallas_blas1))
     if b is None:
         b = jnp.ones((grid_size, grid_size), dtype)
     if op.row_pad:
@@ -278,18 +291,17 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
     b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P("x", None)))
     planes_arg = op.planes if op.mode == "stencil5" else jnp.zeros((), dtype)
     t0 = time.perf_counter()
-    x, rr, k, b_norm = solve(b, planes_arg)
+    x, scalars = solve(b, planes_arg)
+    rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
     x.block_until_ready()
     if op.row_pad:
         # Slicing a row-sharded array across shard boundaries is ambiguous for the
         # partitioner; the padded tail is dropped host-side (callers consume x on host).
         x = jax.device_get(x)[:grid_size]
     total_ms = (time.perf_counter() - t0) * 1e3
-    rr = float(rr)
-    b_norm = float(b_norm)
     res = rr ** 0.5
     stats = CGStats(
-        iterations=int(k),
+        iterations=int(k_f),
         converged=bool(res < tolerance * b_norm) if b_norm > 0 else True,
         residual_norm=res,
         relative_residual=res / b_norm if b_norm > 0 else 0.0,
