@@ -32,6 +32,11 @@ def build_parser():
     p.add_argument("--maxiter", type=int, default=1000)
     p.add_argument("--timers", action="store_true",
                    help="per-phase timing via the host-stepped loop (adds sync overhead)")
+    p.add_argument("--host", action="store_true",
+                   help="host-stepped loop, single run (reference --host: the "
+                        "correctness/fallback path, cg_solver.cu:172-181)")
+    p.add_argument("--device", action="store_true",
+                   help="device-native fused loop (the default; reference --device)")
     p.add_argument("--json", default=None)
     p.add_argument("--csv", default=None)
     p.add_argument("--runs", type=int, default=10)
@@ -68,18 +73,29 @@ def main(argv=None) -> int:
     config = cg.CGConfig(max_iters=args.maxiter, tolerance=args.tol,
                          verbose=args.verbose, enable_detailed_timers=args.timers)
 
+    host_path = args.host or args.timers
+
     def run_solve():
         t0 = time.perf_counter()
-        if args.timers:
+        if host_path:
             x, st = cg.cg_solve_stepped(op.run_device_dot, b, config=config)
         else:
             x, st = cg.cg_solve(op, b, config=config)
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
 
-    bench, (x, cg_stats) = stats.benchmark_solver_with_stats(
-        run_solve, num_runs=args.runs, warmup=args.warmup
-    )
+    # reference: device path gets 10-run stats, host path a single run (cg_solver.cu:172-181)
+    if args.host and not args.timers:
+        ms, (x, cg_stats) = run_solve()
+        bench = stats.BenchmarkStats(
+            mean_ms=ms, std_ms=0.0, median_ms=ms, min_ms=ms, max_ms=ms,
+            total_runs=1, valid_runs=1, outliers_removed=0, times_ms=[ms],
+            median_run_index=0,
+        )
+    else:
+        bench, (x, cg_stats) = stats.benchmark_solver_with_stats(
+            run_solve, num_runs=args.runs, warmup=args.warmup
+        )
 
     if args.trace:
         from ..bench import profiling
