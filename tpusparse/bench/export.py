@@ -27,7 +27,8 @@ def _now_iso() -> str:
 
 def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
                      stats: BenchmarkStats, sysinfo: Dict[str, Any],
-                     sum_y: float, norm2_y: float) -> Dict[str, Any]:
+                     sum_y: float, norm2_y: float,
+                     kernel_ms: float = 0.0) -> Dict[str, Any]:
     return {
         "timestamp": _now_iso(),
         "benchmark_type": "spmv",
@@ -43,6 +44,9 @@ def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
             },
             "performance": {
                 "time_median_ms": stats.median_ms,
+                # device-only kernel time (chained-launch protocol; reference methodology:
+                # cudaEvents wrap the kernel, not the transfers) — basis of gflops/bandwidth
+                "time_kernel_ms": kernel_ms or stats.median_ms,
                 "time_mean_ms": stats.mean_ms,
                 "time_std_ms": stats.std_ms,
                 "time_min_ms": stats.min_ms,
@@ -161,6 +165,9 @@ def print_human_spmv(result: Dict[str, Any]) -> None:
     print(f"Matrix:              {m['name']} ({m['rows']}x{m['cols']}, nnz={m['nnz']})")
     print(f"Median time:         {p['time_median_ms']:.3f} ms "
           f"(mean {p['time_mean_ms']:.3f} ± {p['time_std_ms']:.3f})")
+    if p.get("time_kernel_ms") and p["time_kernel_ms"] != p["time_median_ms"]:
+        print(f"Kernel time:         {p['time_kernel_ms']:.3f} ms "
+              f"(device-only, chained; basis of GFLOPS/bandwidth)")
     print(f"Throughput:          {p['gflops']:.2f} GFLOPS")
     print(f"Bandwidth:           {p['bandwidth_gbs']:.1f} GB/s "
           f"({100 * p['roofline_fraction']:.1f}% of HBM roofline)")

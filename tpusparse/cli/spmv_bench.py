@@ -96,13 +96,20 @@ def main(argv=None) -> int:
                 args.dtype, default_np
             )
         ).itemsize
+        # GFLOPS/bandwidth from DEVICE-ONLY kernel time (reference methodology: cudaEvents
+        # wrap the kernel, not the transfers).  The transfer-inclusive run_timed stats above
+        # remain the reported time distribution.  On CPU (interpret mode) chaining adds
+        # nothing, so the median stands in.
+        kernel_ms = (op.kernel_time_ms() if info["backend"] != "cpu"
+                     else bench.median_ms)
         mets = metrics.calculate_spmv_metrics(
-            op, bench.median_ms, dtype_itemsize=itemsize,
+            op, kernel_ms, dtype_itemsize=itemsize,
             device_kind=info["device_kind"], mode=mode,
         )
         result = export.spmv_result_dict(
             mode=mode, matrix_name=name, op=op, metrics=mets, stats=bench,
             sysinfo=info, sum_y=float(y.sum()), norm2_y=float(np.linalg.norm(y)),
+            kernel_ms=kernel_ms,
         )
         export.print_human_spmv(result)
         print()

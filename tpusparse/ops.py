@@ -99,6 +99,26 @@ class DeviceOperator:
         ms = (time.perf_counter() - t0) * 1e3
         return y_host, ms
 
+    def kernel_time_ms(self, chain: int = 20, reps: int = 3) -> float:
+        """Device-only kernel time — the analog of the reference's cudaEvent window around
+        the kernel alone (spmv_cusparse_csr.cu:247-253): H2D/D2H and dispatch excluded.
+
+        Measured with chained launches (output feeds the next input, one final scalar sync):
+        on remote/tunneled deployments per-launch dispatch is ~0.4-1 ms and
+        ``block_until_ready`` may not block, so single-launch timing is meaningless."""
+        x = self.ones_b(self._run_dtype())
+        v = self.run_device(x)
+        float(jnp.sum(v))  # compile + warm + sync
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = x
+            for _ in range(chain):
+                v = self.run_device(v)
+            float(jnp.sum(v))
+            best = min(best, (time.perf_counter() - t0) / chain)
+        return best * 1e3
+
     def _run_dtype(self):
         return self._buffers.get("dtype", _default_dtype()) if isinstance(
             self._buffers, dict) else _default_dtype()
