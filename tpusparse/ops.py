@@ -208,17 +208,9 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
     vals_d = jnp.asarray(ell.val, dtype)
     fshape = _field_shape_for(csr.num_rows)
 
-    @jax.jit
-    def run_device(x):
-        xf = x.reshape(-1)
-        y = jnp.sum(vals_d * xf[cols_d], axis=1)
-        return y.reshape(fshape)
-
-    @jax.jit
-    def run_device_dot(x):
-        y = run_device(x)
-        return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
-
+    # NOTE: the device arrays are always jit ARGUMENTS (via the _op forms), never closed
+    # over under a jit — a closed-over operand becomes an inline constant in the compiled
+    # program, which breaks large grids (2 GB embedding; remote-compile HTTP 413).
     def run_device_op(x, operands):
         cols, vals = operands
         y = jnp.sum(vals * x.reshape(-1)[cols], axis=1)
@@ -227,6 +219,15 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
     def run_device_dot_op(x, operands):
         y = run_device_op(x, operands)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
+    _apply = jax.jit(run_device_op)
+    _apply_dot = jax.jit(run_device_dot_op)
+
+    def run_device(x):
+        return _apply(x, (cols_d, vals_d))
+
+    def run_device_dot(x):
+        return _apply_dot(x, (cols_d, vals_d))
 
     return DeviceOperator(
         name="csr", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
@@ -252,21 +253,22 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
     data128, offsets, n, nr = _dia.pack_dia_operand(dia, dtype)
     fshape = (nr, _dia.LANES)
 
-    @jax.jit
-    def run_device(x):
-        return _dia.spmv_dia_pallas(data128, x.astype(dtype), offsets=offsets)
-
-    @jax.jit
-    def run_device_dot(x):
-        y = run_device(x)
-        return y, jnp.vdot(x, y)
-
+    # spmv_dia_pallas is itself jitted with the data as an argument; no outer jit may close
+    # over data128 (inline-constant embedding breaks large grids — see _init_ell_xla note).
     def run_device_op(x, operands):
         return _dia.spmv_dia_pallas(operands[0], x.astype(dtype), offsets=offsets)
 
     def run_device_dot_op(x, operands):
         y = run_device_op(x, operands)
         return y, jnp.vdot(x, y)
+
+    _apply_dot = jax.jit(run_device_dot_op)
+
+    def run_device(x):
+        return _dia.spmv_dia_pallas(data128, x.astype(dtype), offsets=offsets)
+
+    def run_device_dot(x):
+        return _apply_dot(x, (data128,))
 
     return DeviceOperator(
         name="dia", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
@@ -287,8 +289,8 @@ def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
     offsets = [int(o) for o in dia.offsets]
     fshape = _field_shape_for(n)
 
-    @jax.jit
-    def run_device(x):
+    def run_device_op(x, operands):
+        (data,) = operands
         xf = x.reshape(-1)
         y = jnp.zeros((n,), dtype)
         for d, off in enumerate(offsets):
@@ -296,21 +298,29 @@ def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
             hi = min(n, n - off)
             if hi <= lo:
                 continue
-            seg = data_d[d, lo:hi] * jax.lax.dynamic_slice_in_dim(xf, lo + off, hi - lo)
+            seg = data[d, lo:hi] * jax.lax.dynamic_slice_in_dim(xf, lo + off, hi - lo)
             y = y.at[lo:hi].add(seg)
         return y.reshape(fshape)
 
-    @jax.jit
-    def run_device_dot(x):
-        y = run_device(x)
+    def run_device_dot_op(x, operands):
+        y = run_device_op(x, operands)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
+    _apply = jax.jit(run_device_op)
+    _apply_dot = jax.jit(run_device_dot_op)
+
+    def run_device(x):
+        return _apply(x, (data_d,))
+
+    def run_device_dot(x):
+        return _apply_dot(x, (data_d,))
 
     return DeviceOperator(
         name="dia-xla", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
         grid_size=csr.grid_size, _buffers={"data": data_d, "dtype": dtype},
-        operands=(), run_device_op=lambda x, _o: run_device(x),
-        run_device_dot_op=lambda x, _o: run_device_dot(x),
+        operands=(data_d,), run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
     )
 
 
@@ -331,21 +341,22 @@ def _init_bcoo(mat, dtype=None) -> DeviceOperator:
     )
     fshape = _field_shape_for(csr.num_rows)
 
-    @jax.jit
-    def run_device(x):
-        return (bcoo @ x.reshape(-1)).reshape(fshape)
-
-    @jax.jit
-    def run_device_dot(x):
-        y = run_device(x)
-        return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
-
+    # BCOO is a pytree: pass it as a jit argument, never close over it (see _init_ell_xla).
     def run_device_op(x, operands):
         return (operands[0] @ x.reshape(-1)).reshape(fshape)
 
     def run_device_dot_op(x, operands):
         y = run_device_op(x, operands)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
+
+    _apply = jax.jit(run_device_op)
+    _apply_dot = jax.jit(run_device_dot_op)
+
+    def run_device(x):
+        return _apply(x, (bcoo,))
+
+    def run_device_dot(x):
+        return _apply_dot(x, (bcoo,))
 
     return DeviceOperator(
         name="bcoo", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
