@@ -38,6 +38,13 @@ def build_parser():
 def _resolve_dtype(name):
     if name is None:
         return None
+    import jax
+
+    if name == "f64":
+        # without x64 mode jnp.float64 silently coerces to f32 — that would report a fake
+        # f64 run.  The whole reference is double precision (SURVEY.md §4); on TPU this
+        # means XLA-emulated f64 (Mosaic kernels are f32 — use the *-xla modes).
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     return {"f32": jnp.float32, "f64": jnp.float64, "bf16": jnp.bfloat16}[name]

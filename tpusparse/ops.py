@@ -159,6 +159,34 @@ def _init_stencil5(st: Stencil5, dtype=None) -> DeviceOperator:
     )
 
 
+def _init_stencil5_xla(st: Stencil5, dtype=None) -> DeviceOperator:
+    """Pure-XLA shifted-pads stencil SpMV (kernels/stencil5.spmv_stencil5_xla).  Three roles:
+    the Pallas kernel's correctness oracle, the fusion baseline it is measured against, and
+    the **f64 stencil path on TPU** (Mosaic has no f64; XLA emulates it)."""
+    dtype = dtype or _default_dtype()
+    g = st.grid_size
+    planes = jnp.asarray(st.planes, dtype)
+
+    def run_device_op(x, operands):
+        return _st5.spmv_stencil5_xla(operands[0], x)
+
+    def run_device_dot_op(x, operands):
+        y = run_device_op(x, operands)
+        return y, jnp.vdot(x, y)
+
+    _apply = jax.jit(run_device_op)
+    _apply_dot = jax.jit(run_device_dot_op)
+
+    return DeviceOperator(
+        name="stencil5-xla", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
+        field_shape=(g, g), run_device=lambda x: _apply(x, (planes,)),
+        run_device_dot=lambda x: _apply_dot(x, (planes,)),
+        grid_size=g, _buffers={"planes": planes, "dtype": dtype},
+        operands=(planes,), run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
+    )
+
+
 def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
     if st.constant is None:
         raise ValueError("stencil5-const requires uniform coefficients")
@@ -390,6 +418,7 @@ _REGISTRY: Dict[str, Callable] = {
     "dia-xla": lambda m, **kw: _init_dia_xla(m, **kw),
     "bcoo": lambda m, **kw: _init_bcoo(m, **kw),
     "stencil5": lambda m, **kw: _init_stencil5(_as_stencil5(m), **kw),
+    "stencil5-xla": lambda m, **kw: _init_stencil5_xla(_as_stencil5(m), **kw),
     "stencil5-const": lambda m, **kw: _init_stencil5_const(_as_stencil5(m), **kw),
     # reference-compatible aliases (src/spmv/spmv.cu:12-15)
     "cusparse-csr": lambda m, **kw: _init_ell_xla(m, **kw),
