@@ -55,7 +55,7 @@ def test_sample_matrix_operator_cross_validation(sample):
     for pattern in (Pattern.ONES, Pattern.INCREMENTAL, Pattern.RANDOM_UNIFORM):
         x = make_input(n, pattern)
         want = dense @ x
-        for mode in ("csr", "dia", "stencil5", "bcoo"):
+        for mode in ("csr", "dia", "stencil5", "stencil5-xla", "bcoo"):
             op = ops.get_operator(mode, csr, dtype=jnp.float64)
             y = np.asarray(op.run_device(op.as_field(jnp.asarray(x)))).reshape(-1)[:n]
             res = compare_vectors(y, want, tier="strict")
