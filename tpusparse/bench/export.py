@@ -143,12 +143,23 @@ def _flatten(d: Dict[str, Any], prefix: str = "") -> Dict[str, Any]:
 
 
 def append_csv(path: str, result: Dict[str, Any]) -> None:
-    """Append-mode CSV with header written once (reference cg_metrics.cu:155-185)."""
+    """Append-mode CSV with header written once (reference cg_metrics.cu:155-185).
+
+    When appending to an existing file, rows are written against ITS header (extra new
+    fields dropped, missing ones blank) so schema evolution can never silently shift
+    columns mid-file."""
     flat = _flatten(result)
     exists = os.path.exists(path) and os.path.getsize(path) > 0
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fieldnames = list(flat)
+    if exists:
+        with open(path, newline="") as f:
+            existing = next(csv.reader(f), None)
+        if existing:
+            fieldnames = existing
     with open(path, "a", newline="") as f:
-        writer = csv.DictWriter(f, fieldnames=list(flat))
+        writer = csv.DictWriter(f, fieldnames=fieldnames, extrasaction="ignore",
+                                restval="")
         if not exists:
             writer.writeheader()
         writer.writerow(flat)

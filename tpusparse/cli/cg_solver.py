@@ -84,8 +84,13 @@ def main(argv=None) -> int:
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
 
+    if args.host and args.device:
+        print("[ERROR] --host and --device are mutually exclusive", file=sys.stderr)
+        return 2
+
     # reference: device path gets 10-run stats, host path a single run (cg_solver.cu:172-181)
     if args.host and not args.timers:
+        run_solve()  # one untimed warmup so the single timed run excludes compilation
         ms, (x, cg_stats) = run_solve()
         bench = stats.BenchmarkStats(
             mean_ms=ms, std_ms=0.0, median_ms=ms, min_ms=ms, max_ms=ms,

@@ -108,7 +108,16 @@ class DeviceOperator:
         ``block_until_ready`` may not block, so single-launch timing is meaningless."""
         x = self.ones_b(self._run_dtype())
         v = self.run_device(x)
-        float(jnp.sum(v))  # compile + warm + sync
+        float(jnp.sum(v))  # compile + warm + sync (untimed: compile must not skew the probe)
+        t0 = time.perf_counter()
+        v = self.run_device(x)
+        float(jnp.sum(v))
+        probe_ms = (time.perf_counter() - t0) * 1e3
+        # scale the chain to the operator's speed so slow generic paths (gather/bcoo at
+        # hundreds of ms per apply) don't burn minutes: keep a rep under ~1 s.
+        chain = max(3, min(chain, int(1000 / max(probe_ms, 1.0))))
+        if probe_ms > 300:
+            reps = min(reps, 2)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -174,13 +183,11 @@ def _init_stencil5_xla(st: Stencil5, dtype=None) -> DeviceOperator:
         y = run_device_op(x, operands)
         return y, jnp.vdot(x, y)
 
-    _apply = jax.jit(run_device_op)
-    _apply_dot = jax.jit(run_device_dot_op)
+    run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, (planes,))
 
     return DeviceOperator(
         name="stencil5-xla", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
-        field_shape=(g, g), run_device=lambda x: _apply(x, (planes,)),
-        run_device_dot=lambda x: _apply_dot(x, (planes,)),
+        field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
         grid_size=g, _buffers={"planes": planes, "dtype": dtype},
         operands=(planes,), run_device_op=run_device_op,
         run_device_dot_op=run_device_dot_op,
@@ -217,6 +224,18 @@ def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
 # ---------------------------------------------------------------------------
 
 
+def _wrap_ops(run_device_op, run_device_dot_op, operands):
+    """Build (run_device, run_device_dot) from the explicit-operand forms.
+
+    THE invariant for every operator: device arrays enter jitted programs only as runtime
+    ARGUMENTS.  A jit that closes over an operand embeds it as an inline constant in the
+    compiled program, which breaks large grids (multi-GB embeddings; oversized
+    remote-compile payloads).  This helper is the single place that invariant lives."""
+    _apply = jax.jit(run_device_op)
+    _apply_dot = jax.jit(run_device_dot_op)
+    return (lambda x: _apply(x, operands)), (lambda x: _apply_dot(x, operands))
+
+
 def _field_shape_for(n: int) -> tuple:
     """Factor n into a 2-D field shape with a wide-ish lane dim (vectors are 2-D on TPU)."""
     for cols in (1024, 512, 256, 128):
@@ -236,9 +255,6 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
     vals_d = jnp.asarray(ell.val, dtype)
     fshape = _field_shape_for(csr.num_rows)
 
-    # NOTE: the device arrays are always jit ARGUMENTS (via the _op forms), never closed
-    # over under a jit — a closed-over operand becomes an inline constant in the compiled
-    # program, which breaks large grids (2 GB embedding; remote-compile HTTP 413).
     def run_device_op(x, operands):
         cols, vals = operands
         y = jnp.sum(vals * x.reshape(-1)[cols], axis=1)
@@ -248,14 +264,8 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
         y = run_device_op(x, operands)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
 
-    _apply = jax.jit(run_device_op)
-    _apply_dot = jax.jit(run_device_dot_op)
-
-    def run_device(x):
-        return _apply(x, (cols_d, vals_d))
-
-    def run_device_dot(x):
-        return _apply_dot(x, (cols_d, vals_d))
+    run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op,
+                                           (cols_d, vals_d))
 
     return DeviceOperator(
         name="csr", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
@@ -281,8 +291,6 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
     data128, offsets, n, nr = _dia.pack_dia_operand(dia, dtype)
     fshape = (nr, _dia.LANES)
 
-    # spmv_dia_pallas is itself jitted with the data as an argument; no outer jit may close
-    # over data128 (inline-constant embedding breaks large grids — see _init_ell_xla note).
     def run_device_op(x, operands):
         return _dia.spmv_dia_pallas(operands[0], x.astype(dtype), offsets=offsets)
 
@@ -290,13 +298,7 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
         y = run_device_op(x, operands)
         return y, jnp.vdot(x, y)
 
-    _apply_dot = jax.jit(run_device_dot_op)
-
-    def run_device(x):
-        return _dia.spmv_dia_pallas(data128, x.astype(dtype), offsets=offsets)
-
-    def run_device_dot(x):
-        return _apply_dot(x, (data128,))
+    run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, (data128,))
 
     return DeviceOperator(
         name="dia", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
@@ -334,14 +336,7 @@ def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
         y = run_device_op(x, operands)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
 
-    _apply = jax.jit(run_device_op)
-    _apply_dot = jax.jit(run_device_dot_op)
-
-    def run_device(x):
-        return _apply(x, (data_d,))
-
-    def run_device_dot(x):
-        return _apply_dot(x, (data_d,))
+    run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, (data_d,))
 
     return DeviceOperator(
         name="dia-xla", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
@@ -369,7 +364,6 @@ def _init_bcoo(mat, dtype=None) -> DeviceOperator:
     )
     fshape = _field_shape_for(csr.num_rows)
 
-    # BCOO is a pytree: pass it as a jit argument, never close over it (see _init_ell_xla).
     def run_device_op(x, operands):
         return (operands[0] @ x.reshape(-1)).reshape(fshape)
 
@@ -377,14 +371,7 @@ def _init_bcoo(mat, dtype=None) -> DeviceOperator:
         y = run_device_op(x, operands)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
 
-    _apply = jax.jit(run_device_op)
-    _apply_dot = jax.jit(run_device_dot_op)
-
-    def run_device(x):
-        return _apply(x, (bcoo,))
-
-    def run_device_dot(x):
-        return _apply_dot(x, (bcoo,))
+    run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, (bcoo,))
 
     return DeviceOperator(
         name="bcoo", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,

@@ -199,7 +199,8 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
 
         state0 = (x0, r0, r0, rr0, jnp.zeros((), jnp.int32))
         x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
-        sdt = rr.dtype  # f32 accumulator (f64 on CPU x64); k ≤ max_iters fits exactly
+        # pack in ≥f32: k ≤ max_iters is exact below 2^24 (bf16 would corrupt k > 256)
+        sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
         return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
     _SOLVER_CACHE[key] = solve

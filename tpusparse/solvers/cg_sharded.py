@@ -221,7 +221,11 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
             return op.local_spmv_dot(planes_l, p_l, axis, naxis)
 
         r0 = b_l  # x0 = 0
-        rr0 = jax.lax.psum(blas1.dot_pallas(r0, r0), axis)
+        if use_pallas_blas1:
+            rr0_local = blas1.dot_pallas(r0, r0)
+        else:
+            rr0_local = jnp.vdot(r0, r0)
+        rr0 = jax.lax.psum(rr0_local, axis)
         b_norm = jnp.sqrt(rr0)
         tol2 = (tolerance * tolerance) * rr0
 
@@ -249,8 +253,9 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
 
         state0 = (jnp.zeros_like(b_l), r0, r0, rr0, jnp.zeros((), jnp.int32))
         x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
-        sdt = rr.dtype
-        # pack the result scalars: ONE device→host transfer in the caller (see cg.py)
+        # pack the result scalars in ≥f32 (k exactness; bf16 would corrupt k > 256):
+        # ONE device→host transfer in the caller (see cg.py)
+        sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
         return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
     in_specs = (P(axis, None), P(None, axis, None) if has_planes else P())
