@@ -75,3 +75,45 @@ def test_cg_solver_timers_mode(capsys):
 def test_cg_solver_nonconvergence_exit_code(capsys):
     rc = cg_solver.main(["gen:16", "--maxiter=2", "--runs=3", "--warmup=0", "--verbose=0"])
     assert rc == 1
+
+
+def test_cg_solver_host_single_run(capsys):
+    """--host: the reference's host-interface fallback — single timed run after one warmup
+    (cg_solver.cu:172-181)."""
+    rc = cg_solver.main(["gen:12", "--host", "--verbose=0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Converged:  YES" in out
+
+
+def test_cg_solver_host_device_conflict(capsys):
+    assert cg_solver.main(["gen:12", "--host", "--device", "--verbose=0"]) == 2
+
+
+def test_cg_solver_stencil5_xla_mode(capsys):
+    """The XLA oracle mode solves end-to-end with the same iteration count as Pallas."""
+    rc = cg_solver.main(["gen:16", "--mode=stencil5-xla", "--runs=3", "--warmup=1",
+                         "--verbose=0"])
+    assert rc == 0
+    out_xla = capsys.readouterr().out
+    rc = cg_solver.main(["gen:16", "--mode=stencil5", "--runs=3", "--warmup=1",
+                         "--verbose=0"])
+    assert rc == 0
+    out_pl = capsys.readouterr().out
+    it = [line for line in out_xla.splitlines() if line.startswith("Iterations")]
+    assert it and it == [line for line in out_pl.splitlines()
+                         if line.startswith("Iterations")]
+
+
+def test_cg_solver_multichip_virtual_mesh(capsys):
+    """Multichip CLI over the 8-virtual-device mesh: convergence, load-imbalance report
+    (reference prints MAX/MIN rank timers + imbalance %, cg_solver_mgpu_partitioned.cu:
+    758-773), and checksum output."""
+    from tpusparse.cli import cg_solver_multichip
+
+    rc = cg_solver_multichip.main(["gen:24", "--chips=4", "--runs=3", "--warmup=1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Converged:  YES" in out
+    assert "Load imbalance:" in out
+    assert "Sum(x)" in out

@@ -106,6 +106,15 @@ def main(argv=None) -> int:
             print(f"[INFO] trace captured: {args.trace}")
 
     op = cg_sharded.make_sharded_operator(mesh, g, mode=args.mode, dtype=dtype)
+    if is_primary:
+        # Load-imbalance report, printed always (reference cg_solver_mgpu_partitioned.cu:
+        # 758-773 MAX/MIN rank-timer reduction).  Under single-process SPMD every shard runs
+        # ONE fused program in lockstep, so the only imbalance source is the row-padding
+        # remainder; report that bound instead of redundant per-shard timers.
+        band = (g + op.row_pad) // nchips
+        imbalance = 100.0 * op.row_pad / band if band else 0.0
+        print(f"Load imbalance:      {imbalance:.2f}% "
+              f"(row padding {op.row_pad} of band {band}; SPMD lockstep otherwise)")
     x_host = np.asarray(jax.device_get(x), np.float64).ravel()
     result = export.cg_result_dict(
         solver=f"tpusparse-cg-sharded-{nchips}chip", mode=args.mode,
