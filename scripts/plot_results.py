@@ -56,11 +56,15 @@ def main() -> int:
             for i, n in enumerate(sizes):
                 if (n, mode) in spmv:
                     xs.append(i + k * width)
-                    ts.append(spmv[(n, mode)]["time_median_ms"])
-                    bws.append(spmv[(n, mode)]["bandwidth_gbs"])
+                    perf = spmv[(n, mode)]
+                    # kernel-only time (transfer-inclusive medians are link-bound on
+                    # remote deployments and would mislead the comparison)
+                    ts.append(perf.get("time_kernel_ms") or perf["time_median_ms"])
+                    bws.append(perf["bandwidth_gbs"])
             ax1.bar(xs, ts, width=width, label=mode)
             ax2.bar(xs, bws, width=width, label=mode)
-        for ax, ylabel in ((ax1, "median time (ms)"), (ax2, "bandwidth (GB/s)")):
+        ax1.set_yscale("log")
+        for ax, ylabel in ((ax1, "kernel time (ms, log)"), (ax2, "bandwidth (GB/s)")):
             ax.set_xticks(range(len(sizes)))
             ax.set_xticklabels([f"{n:,}" for n in sizes])
             ax.set_xlabel("rows")
@@ -101,6 +105,57 @@ def main() -> int:
         fig.suptitle("CG strong scaling")
         fig.tight_layout()
         out = f"{args.outdir}/cg_scaling.png"
+        fig.savefig(out, dpi=120)
+        made.append(out)
+
+    # --- CG problem-size scaling (single configuration per grid size) ---
+    # Measured solves keyed by unknown count; overlays the reference's PUBLISHED single-A100
+    # numbers (BASELINE.md: 133.9/300.1/531.4 ms at 10k/15k/20k, f64) clearly labeled as such.
+    REF_A100 = {10000**2: 133.9, 15000**2: 300.1, 20000**2: 531.4}
+    # categorical slots 1-2 of the validated default palette (dataviz references/palette.md)
+    C_OURS, C_REF = "#2a78d6", "#eb6834"
+    INK, MUTED = "#333333", "#777777"
+    sizes_cg = {}
+    for p in sorted(glob.glob(f"{args.indir}/*.json")):
+        with open(p) as f:
+            r = json.load(f)
+        if r.get("benchmark_type") != "cg" or "bcoo" in r.get("mode", ""):
+            continue
+        if int(r["timing"].get("num_chips", 1)) != 1:
+            continue
+        rows = r["matrix"]["rows"]
+        t = r["timing"]["total_median_ms"]
+        if rows not in sizes_cg or t < sizes_cg[rows]:
+            sizes_cg[rows] = t
+    if len(sizes_cg) >= 2:
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        xs = sorted(sizes_cg)
+        ax.plot(xs, [sizes_cg[x] for x in xs], "-", lw=2, marker="o", ms=8,
+                color=C_OURS, label="tpusparse, 1× TPU v5e (f32, measured)")
+        rx = sorted(REF_A100)
+        ax.plot(rx, [REF_A100[x] for x in rx], "-", lw=2, marker="o", ms=8,
+                color=C_REF, label="reference, 1× A100-SXM (f64, published)")
+        # selective direct labels: endpoints only, in ink (text never wears series color)
+        ax.annotate(f"{sizes_cg[xs[-1]]:.0f} ms", (xs[-1], sizes_cg[xs[-1]]),
+                    textcoords="offset points", xytext=(6, -12), color=INK, fontsize=9)
+        ax.annotate(f"{REF_A100[rx[-1]]:.0f} ms", (rx[-1], REF_A100[rx[-1]]),
+                    textcoords="offset points", xytext=(6, 6), color=INK, fontsize=9)
+        ax.set_xscale("log")
+        ax.set_yscale("log")
+        ax.set_xlabel("unknowns (grid points)")
+        ax.set_ylabel("CG solve time (ms), 14 iterations")
+        ax.grid(True, which="both", color="#e6e6e6", lw=0.5)
+        ax.set_axisbelow(True)
+        for s in ("top", "right"):
+            ax.spines[s].set_visible(False)
+        for s in ("left", "bottom"):
+            ax.spines[s].set_color(MUTED)
+        ax.tick_params(colors=MUTED)
+        ax.legend(frameon=False, fontsize=9)
+        ax.set_title("CG time-to-solution vs problem size (single chip/GPU)",
+                     color=INK, fontsize=11)
+        fig.tight_layout()
+        out = f"{args.outdir}/cg_problem_size.png"
         fig.savefig(out, dpi=120)
         made.append(out)
 
