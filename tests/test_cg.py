@@ -143,3 +143,20 @@ def test_cg_bare_callable_nonzero_x0_requires_spmv():
     b = op.as_field(np.ones(g * g)).astype(jnp.float64)
     with pytest.raises(ValueError, match="nonzero x0"):
         cg.cg_solve(op.run_device_dot, b, b)
+
+
+def test_cg_bf16_coefficients_bitwise_match():
+    """stencil5-bf16c: bf16 coefficient storage is bit-identical to f32 storage when the
+    coefficient field is exactly representable (5.0 / -1.0 / 0.0 is)."""
+    import jax.numpy as jnp
+
+    from tpusparse import generate, ops
+
+    st = generate.make_stencil5(24)
+    b = jnp.ones((24, 24), jnp.float32)
+    op32 = ops.get_operator("stencil5", st, dtype=jnp.float32)
+    op16 = ops.get_operator("stencil5-bf16c", st, dtype=jnp.float32)
+    x32, s32 = cg.cg_solve(op32, b)
+    x16, s16 = cg.cg_solve(op16, b)
+    assert s32.iterations == s16.iterations
+    assert bool(jnp.all(x32 == x16))
