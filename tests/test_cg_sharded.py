@@ -160,3 +160,15 @@ def test_sharded_stepped_matches_fused():
     assert s1.iterations == s2.iterations
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12)
     assert s2.spmv_time_ms > 0 and s2.blas1_time_ms > 0
+
+
+def test_sharded_bf16_coefficients_match_f32():
+    """Sharded stencil5-bf16c ≡ sharded stencil5 (f32) bitwise: the synthesized coefficients
+    are exactly representable in bf16."""
+    g = 24
+    m = _mesh(4)
+    x32, s32 = cg_sharded.cg_solve_sharded(m, g, mode="stencil5", dtype=jnp.float32)
+    x16, s16 = cg_sharded.cg_solve_sharded(m, g, mode="stencil5-bf16c",
+                                           dtype=jnp.float32)
+    assert s32.iterations == s16.iterations
+    assert np.array_equal(np.asarray(x32), np.asarray(x16))

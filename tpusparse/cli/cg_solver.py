@@ -80,7 +80,9 @@ def main(argv=None) -> int:
         if host_path:
             x, st = cg.cg_solve_stepped(op.run_device_dot, b, config=config)
         else:
-            x, st = cg.cg_solve(op, b, config=config)
+            # b is always the canonical ones RHS here: let the solve synthesize it
+            # in-graph (reclaims the b/x0 buffers — matters at 20k²)
+            x, st = cg.cg_solve(op, b, config=config, b_is_ones=True)
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
 

@@ -176,11 +176,15 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
         # absorbs the remainder, cg_solver_mgpu_partitioned.cu:262-268 — here the padding
         # plays that role uniformly).
         mode = "stencil5"
-    if mode == "stencil5":
+    if mode in ("stencil5", "stencil5-bf16c"):
         if planes is None:
             from ..generate import make_stencil5_planes_device
 
             planes = make_stencil5_planes_device(g, diag, offdiag, dtype=dtype)
+        if mode == "stencil5-bf16c":
+            # bf16 coefficient storage (see ops._init_stencil5): halves plane traffic;
+            # bit-identical when the field is exactly representable (5/-1/0 is)
+            planes = jnp.asarray(planes, jnp.bfloat16)
         if pad:
             planes = jnp.concatenate(
                 [planes, jnp.zeros((5, pad, g), planes.dtype)], axis=1
@@ -189,7 +193,8 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
             planes, NamedSharding(mesh, P(None, "x", None))
         )
     elif mode != "stencil5-const":
-        raise ValueError(f"sharded CG supports stencil5/stencil5-const, got {mode}")
+        raise ValueError(
+            f"sharded CG supports stencil5/stencil5-bf16c/stencil5-const, got {mode}")
     op = ShardedOperator(
         mesh=mesh, grid_size=g, mode=mode, planes=planes, diag=diag, offdiag=offdiag,
         dtype=dtype, overlap=overlap, row_pad=pad,
@@ -212,7 +217,7 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
     mesh = op.mesh
     axis = "x"
     naxis = mesh.devices.size
-    has_planes = op.mode == "stencil5"
+    has_planes = op.mode in ("stencil5", "stencil5-bf16c")
 
     def local_cg(b_l, planes_l):
         """Runs per shard inside shard_map.  b_l: (band, g) local rows."""
@@ -294,7 +299,8 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
             [b.astype(dtype), jnp.zeros((op.row_pad, grid_size), dtype)], axis=0
         )
     b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P("x", None)))
-    planes_arg = op.planes if op.mode == "stencil5" else jnp.zeros((), dtype)
+    planes_arg = (op.planes if op.mode in ("stencil5", "stencil5-bf16c")
+                  else jnp.zeros((), dtype))
     t0 = time.perf_counter()
     x, scalars = solve(b, planes_arg)
     rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
@@ -336,7 +342,7 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
     )
     axis = "x"
     naxis = mesh.devices.size
-    has_planes = op.mode == "stencil5"
+    has_planes = op.mode in ("stencil5", "stencil5-bf16c")
     pspec = P(None, axis, None) if has_planes else P()
     planes_arg = op.planes if has_planes else jnp.zeros((), dtype)
 
