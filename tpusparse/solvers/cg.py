@@ -68,21 +68,29 @@ def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,
     point"): any SpMV implementation is usable inside CG unmodified.
     """
 
+    from ..bench import profiling
+
     def step(state):
+        # named scopes = the reference's NVTX phase ranges (CG_Iteration/SpMV/...,
+        # cg_solver_mgpu_partitioned.cu:540-543); pure trace metadata, no runtime cost
         x, r, p, rr, k = state
-        ap, pap = spmv_dot(p)
+        with profiling.scope(profiling.PHASE_SPMV):
+            ap, pap = spmv_dot(p)
         alpha = (rr / pap).astype(x.dtype)
-        if use_pallas_blas1:
-            x, r, rr_new = blas1.cg_update_pallas(alpha, x, r, p, ap, interpret=interpret)
-        else:
-            x = x + alpha * p
-            r = r - alpha * ap
-            rr_new = jnp.vdot(r, r)
+        with profiling.scope(profiling.PHASE_AXPY):
+            if use_pallas_blas1:
+                x, r, rr_new = blas1.cg_update_pallas(alpha, x, r, p, ap,
+                                                      interpret=interpret)
+            else:
+                x = x + alpha * p
+                r = r - alpha * ap
+                rr_new = jnp.vdot(r, r)
         beta = (rr_new / rr).astype(x.dtype)
-        if use_pallas_blas1:
-            p = blas1.p_update_pallas(beta, r, p, interpret=interpret)
-        else:
-            p = r + beta * p
+        with profiling.scope("BLAS_Update_P"):
+            if use_pallas_blas1:
+                p = blas1.p_update_pallas(beta, r, p, interpret=interpret)
+            else:
+                p = r + beta * p
         return x, r, p, rr_new, k + 1
 
     return step

@@ -52,8 +52,11 @@ def _band_halo_exchange(field_block, axis_name: str, axis_size: int):
     prev/next conditionals (exchange_halo_mpi :188-217)."""
     down = [(i, i + 1) for i in range(axis_size - 1)]  # my last row -> next shard's halo_prev
     up = [(i + 1, i) for i in range(axis_size - 1)]  # my first row -> prev shard's halo_next
-    halo_prev = jax.lax.ppermute(field_block[-1:, :], axis_name, down)
-    halo_next = jax.lax.ppermute(field_block[:1, :], axis_name, up)
+    from ..bench import profiling
+
+    with profiling.scope(profiling.PHASE_HALO):
+        halo_prev = jax.lax.ppermute(field_block[-1:, :], axis_name, down)
+        halo_next = jax.lax.ppermute(field_block[:1, :], axis_name, up)
     return halo_prev, halo_next
 
 
