@@ -1,32 +1,75 @@
-"""Driver benchmark: STENCIL5 SpMV HBM-roofline fraction on one chip.
-
-Prints ONE JSON line:
+"""Driver benchmark.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The headline follows BASELINE.md: the reference's STENCIL5 kernel sustains 95% of HBM roofline
-on its hardware (docs/PROFILING_ANALYSIS.md:88-97, 2364 GB/s on A100 PCIe).  The
-hardware-honest cross-platform comparison is the fraction of the chip's HBM peak moved by the
-values-carrying stencil SpMV (7 words/point), so:
+Primary metric (TPU): the repo's headline — full CG time-to-solution on the reference's
+LARGEST published configuration, 20480² (419M unknowns, 2.1B nnz, tol 1e-6, b = ones),
+values-carrying with bf16 coefficient storage (bit-identical for this operator's exact
+coefficients; docs/PERFORMANCE.md).  vs_baseline = reference_time / our_time against the
+published single-A100 f64 number (531.4 ms, BASELINE.md) — >1 means faster than the
+reference's headline GPU.  Iteration-count parity (14) is asserted, not assumed.
 
-  value       = achieved_bytes/s ÷ chip_HBM_peak
-  vs_baseline = value ÷ 0.95
+Fallback (any failure, or CPU backend): STENCIL5 SpMV HBM-roofline fraction on one chip,
+vs the reference's 95%-of-roofline (docs/PROFILING_ANALYSIS.md analog).
 
-Timing uses chained launches (output feeds the next input) with one final sync — per-launch
-dispatch latency through the remote tunnel would otherwise dominate (~0.4 ms/launch measured).
+Timing uses chained/packed-readback device paths; per-launch dispatch through the remote
+tunnel (~0.4-1 ms) is excluded exactly as the reference excludes H2D/D2H from kernel times.
 """
 
 import json
 import sys
 import time
 
+REF_20K_MS = 531.4  # reference cg 20000², 1×A100-SXM f64 (BASELINE.md / README.md:55)
+REF_ITERS = 14
 
-def main() -> int:
+
+def bench_cg_20k() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from tpusparse import dist, generate
+    from tpusparse import generate, ops
+    from tpusparse.formats import Stencil5
+    from tpusparse.solvers import cg
 
-    dist.enable_compilation_cache()
+    g = 20480
+    # synthesize the planes DIRECTLY in bf16 (4.2 GB): an f32 intermediate (8.4 GB) would
+    # transiently need 12.6 GB and fragment the 16 GB HBM under the solve's footprint
+    planes = generate.make_stencil5_planes_device(g, dtype=jnp.bfloat16)
+    st = Stencil5(grid_size=g, planes=planes, constant=(5.0, -1.0))
+    op = ops.get_operator("stencil5-bf16c", st)
+    del planes, st
+    b = op.ones_b(jnp.float32)
+    cfg = cg.CGConfig(max_iters=100, tolerance=1e-6)
+
+    times = []
+    iters = None
+    for i in range(4):  # 1 warmup (compile) + 3 timed
+        x, stats = cg.cg_solve(op, b, config=cfg, b_is_ones=True)
+        if i:
+            times.append(stats.total_time_ms)
+        iters = stats.iterations
+        if not stats.converged:
+            raise RuntimeError("CG did not converge")
+        del x
+    if iters != REF_ITERS:
+        raise RuntimeError(f"iteration-count parity broken: {iters} != {REF_ITERS}")
+    times.sort()
+    med = times[len(times) // 2]
+    print(f"[bench] cg 20480^2 bf16c: median {med:.1f} ms over {len(times)} runs, "
+          f"{iters} iterations (ref A100: {REF_20K_MS} ms)", file=sys.stderr)
+    return {
+        "metric": "cg_20480sq_419M_unknowns_time_ms",
+        "value": round(med, 1),
+        "unit": "ms_median_vs_a100_published_531.4",
+        "vs_baseline": round(REF_20K_MS / med, 4),
+    }
+
+
+def bench_spmv_roofline() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse import generate
     from tpusparse.bench.metrics import chip_peaks
     from tpusparse.bench.sysinfo import get_system_info
     from tpusparse.kernels.stencil5 import spmv_stencil5_pipelined
@@ -35,7 +78,7 @@ def main() -> int:
     on_tpu = info["backend"] != "cpu"
     g = 10240 if on_tpu else 512
     dtype = jnp.float32
-    print(f"[bench] device={info['device_kind']} g={g} dtype=f32", file=sys.stderr)
+    print(f"[bench] spmv fallback: device={info['device_kind']} g={g}", file=sys.stderr)
 
     planes = generate.make_stencil5_planes_device(g, dtype=dtype)
     x = jax.random.normal(jax.random.PRNGKey(0), (g, g), dtype)
@@ -43,17 +86,13 @@ def main() -> int:
     def run(v):
         return spmv_stencil5_pipelined(planes, v)
 
-    # correctness gate before timing: checksum vs the analytical oracle
     y1 = run(jnp.ones((g, g), dtype))
     s_ref, _ = generate.stencil5_spmv_checksums(g)
     s_got = float(jnp.sum(y1.astype(jnp.float64) if not on_tpu else y1))
     rel = abs(s_got - s_ref) / abs(s_ref)
     if rel > 1e-3:
-        print(f"[bench] CHECKSUM MISMATCH: {s_got} vs {s_ref}", file=sys.stderr)
-        return 1
-    print(f"[bench] checksum ok (rel {rel:.2e})", file=sys.stderr)
+        raise RuntimeError(f"checksum mismatch: {s_got} vs {s_ref}")
 
-    # warmup + chained timing
     n = 50 if on_tpu else 5
     v = run(x)
     _ = float(jnp.sum(v))
@@ -66,19 +105,62 @@ def main() -> int:
         _ = float(jnp.sum(v))
         best = min(best, (time.perf_counter() - t0) / n)
 
-    nbytes = 7 * g * g * dtype.dtype.itemsize if hasattr(dtype, "dtype") else 7 * g * g * 4
-    gbs = nbytes / best / 1e9
+    gbs = 7 * g * g * 4 / best / 1e9
     peak, _ = chip_peaks(info["device_kind"])
     frac = gbs / peak
     print(f"[bench] stencil5 spmv: {best * 1e3:.3f} ms, {gbs:.1f} GB/s, "
           f"{100 * frac:.1f}% of {peak:.0f} GB/s roofline", file=sys.stderr)
-
-    print(json.dumps({
+    return {
         "metric": "stencil5_spmv_hbm_roofline_fraction",
         "value": round(frac, 4),
         "unit": "fraction_of_chip_hbm_peak",
         "vs_baseline": round(frac / 0.95, 4),
-    }))
+    }
+
+
+def _run_cg20k_subprocess():
+    """Run the 20k solve in a CHILD process: an OOM there cannot fragment/poison the device
+    state the fallback needs.  The child prints one JSON line on success."""
+    import os
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-u", os.path.abspath(__file__), "--cg20k"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    sys.stderr.write(proc.stderr[-2000:])
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return None
+
+
+def main() -> int:
+    if "--cg20k" in sys.argv:
+        from tpusparse import dist
+
+        dist.enable_compilation_cache()
+        print(json.dumps(bench_cg_20k()))
+        return 0
+
+    import jax
+
+    from tpusparse import dist
+
+    dist.enable_compilation_cache()
+    result = None
+    if jax.default_backend() != "cpu":
+        try:
+            result = _run_cg20k_subprocess()
+        except Exception as e:  # timeout, crash, anything — fall back, don't fail
+            print(f"[bench] cg20k subprocess failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+        if result is None:
+            print("[bench] falling back to spmv roofline", file=sys.stderr)
+    if result is None:
+        result = bench_spmv_roofline()
+    print(json.dumps(result))
     return 0
 
 

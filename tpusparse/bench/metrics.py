@@ -75,6 +75,9 @@ BYTE_MODELS = {
     "dia": lambda op, itemsize: (op.nnz + 2 * op.num_rows) * itemsize,  # data + x + y
     "dia-xla": lambda op, itemsize: (op.nnz + 2 * op.num_rows) * itemsize,
     "stencil5": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),
+    "stencil5-xla": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),
+    # bf16 coefficient storage: 5 planes at 2 B + x,y at the state itemsize
+    "stencil5-bf16c": lambda op, itemsize: op.num_rows * (5 * 2 + 2 * itemsize),
     "stencil5-const": lambda op, itemsize: bytes_stencil5_const(op.num_rows, itemsize),
 }
 
