@@ -31,6 +31,8 @@ def bench_cg_20k() -> dict:
     from tpusparse.formats import Stencil5
     from tpusparse.solvers import cg
 
+    if jax.default_backend() == "cpu":
+        raise RuntimeError("cg20k child must run on the accelerator, got cpu backend")
     g = 20480
     # synthesize the planes DIRECTLY in bf16 (4.2 GB): an f32 intermediate (8.4 GB) would
     # transiently need 12.6 GB and fragment the 16 GB HBM under the solve's footprint
@@ -38,7 +40,9 @@ def bench_cg_20k() -> dict:
     st = Stencil5(grid_size=g, planes=planes, constant=(5.0, -1.0))
     op = ops.get_operator("stencil5-bf16c", st)
     del planes, st
-    b = op.ones_b(jnp.float32)
+    # shape/dtype metadata only — b is synthesized in-graph (b_is_ones), so no 1.68 GB
+    # device ones buffer should be held across the solves
+    b = jax.ShapeDtypeStruct((g, g), jnp.float32)
     cfg = cg.CGConfig(max_iters=100, tolerance=1e-6)
 
     times = []
@@ -144,21 +148,19 @@ def main() -> int:
         print(json.dumps(bench_cg_20k()))
         return 0
 
-    import jax
-
-    from tpusparse import dist
-
-    dist.enable_compilation_cache()
+    # IMPORTANT: do NOT initialize jax (and thereby claim the TPU) in the parent before the
+    # child runs — on standard TPU VMs libtpu ownership is exclusive per process.  The child
+    # checks the backend itself and errors out on CPU, which lands us in the fallback.
     result = None
-    if jax.default_backend() != "cpu":
-        try:
-            result = _run_cg20k_subprocess()
-        except Exception as e:  # timeout, crash, anything — fall back, don't fail
-            print(f"[bench] cg20k subprocess failed ({type(e).__name__}: {e})",
-                  file=sys.stderr)
-        if result is None:
-            print("[bench] falling back to spmv roofline", file=sys.stderr)
+    try:
+        result = _run_cg20k_subprocess()
+    except Exception as e:  # timeout, crash, anything — fall back, don't fail
+        print(f"[bench] cg20k subprocess failed ({type(e).__name__}: {e})", file=sys.stderr)
     if result is None:
+        print("[bench] falling back to spmv roofline", file=sys.stderr)
+        from tpusparse import dist
+
+        dist.enable_compilation_cache()
         result = bench_spmv_roofline()
     print(json.dumps(result))
     return 0

@@ -59,7 +59,9 @@ def main() -> int:
                     perf = spmv[(n, mode)]
                     # kernel-only time (transfer-inclusive medians are link-bound on
                     # remote deployments and would mislead the comparison)
-                    ts.append(perf.get("time_kernel_ms") or perf["time_median_ms"])
+                    tk = perf.get("time_kernel_ms")
+                    ts.append(tk if tk is not None and tk > 0
+                              else perf["time_median_ms"])
                     bws.append(perf["bandwidth_gbs"])
             ax1.bar(xs, ts, width=width, label=mode)
             ax2.bar(xs, bws, width=width, label=mode)
@@ -116,6 +118,7 @@ def main() -> int:
     C_OURS, C_REF = "#2a78d6", "#eb6834"
     INK, MUTED = "#333333", "#777777"
     sizes_cg = {}
+    device_kind = "TPU"
     for p in sorted(glob.glob(f"{args.indir}/*.json")):
         with open(p) as f:
             r = json.load(f)
@@ -125,13 +128,15 @@ def main() -> int:
             continue
         rows = r["matrix"]["rows"]
         t = r["timing"]["total_median_ms"]
+        device_kind = r.get("device", {}).get("device_kind", device_kind)
         if rows not in sizes_cg or t < sizes_cg[rows]:
             sizes_cg[rows] = t
     if len(sizes_cg) >= 2:
         fig, ax = plt.subplots(figsize=(7, 4.5))
         xs = sorted(sizes_cg)
         ax.plot(xs, [sizes_cg[x] for x in xs], "-", lw=2, marker="o", ms=8,
-                color=C_OURS, label="tpusparse, 1× TPU v5e (f32, measured)")
+                color=C_OURS,
+                label=f"tpusparse, 1× {device_kind} (best mode per size, measured)")
         rx = sorted(REF_A100)
         ax.plot(rx, [REF_A100[x] for x in rx], "-", lw=2, marker="o", ms=8,
                 color=C_REF, label="reference, 1× A100-SXM (f64, published)")

@@ -24,7 +24,7 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--size", type=int, default=0)
     ap.add_argument("--outdir", default="results")
-    ap.add_argument("--modes", default="stencil5,stencil5-const,csr,bcoo")
+    ap.add_argument("--modes", default="stencil5,stencil5-bf16c,stencil5-const,csr,bcoo")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +80,8 @@ def main() -> int:
     # kernel-only times for the speedup comparison (reference methodology; the
     # transfer-inclusive medians are dominated by link bandwidth on remote deployments)
     def _kernel_ms(perf):
-        return perf.get("time_kernel_ms") or perf["time_median_ms"]
+        t = perf.get("time_kernel_ms")
+        return t if t is not None and t > 0 else perf["time_median_ms"]
 
     st = None
     st_path = f"{jdir}/spmv_stencil5.json"

@@ -117,3 +117,10 @@ def test_cg_solver_multichip_virtual_mesh(capsys):
     assert "Converged:  YES" in out
     assert "Load imbalance:" in out
     assert "Sum(x)" in out
+
+
+def test_cg_solver_padded_field_mode_converges():
+    """dia's lane-padded field: b must be the zero-tailed buffer (in-graph ones would put
+    1.0 in decoupled padded rows and never converge)."""
+    rc = cg_solver.main(["gen:12", "--mode=dia", "--runs=3", "--warmup=1", "--verbose=0"])
+    assert rc == 0

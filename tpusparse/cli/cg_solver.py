@@ -69,6 +69,10 @@ def main(argv=None) -> int:
 
     run_dtype = dtype or (jnp.float64 if info["backend"] == "cpu" and info["x64_enabled"]
                           else jnp.float32)
+    # b = ones can be synthesized in-graph ONLY when the operator's field has no padded
+    # tail (ones_b zero-pads it; in-graph ones would put 1.0 in decoupled padded rows and
+    # the residual there would never decay — e.g. the lane-padded dia operator).
+    padded_field = op.field_elems != op.num_cols
     b = op.ones_b(run_dtype)
     config = cg.CGConfig(max_iters=args.maxiter, tolerance=args.tol,
                          verbose=args.verbose, enable_detailed_timers=args.timers)
@@ -80,9 +84,9 @@ def main(argv=None) -> int:
         if host_path:
             x, st = cg.cg_solve_stepped(op.run_device_dot, b, config=config)
         else:
-            # b is always the canonical ones RHS here: let the solve synthesize it
-            # in-graph (reclaims the b/x0 buffers — matters at 20k²)
-            x, st = cg.cg_solve(op, b, config=config, b_is_ones=True)
+            # unpadded field: let the solve synthesize b = ones in-graph (reclaims the
+            # b/x0 buffers — matters at 20k²); padded field: pass the zero-tailed buffer
+            x, st = cg.cg_solve(op, b, config=config, b_is_ones=not padded_field)
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
 

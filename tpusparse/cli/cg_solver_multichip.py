@@ -29,7 +29,7 @@ def build_parser():
     p = argparse.ArgumentParser(prog="cg_solver_multichip", description=__doc__)
     p.add_argument("matrix", help="gen:<grid_size> (sharded operands are synthesized)")
     p.add_argument("--chips", type=int, default=0, help="devices to use (default: all)")
-    p.add_argument("--mode", default="stencil5", choices=["stencil5", "stencil5-const"])
+    p.add_argument("--mode", default="stencil5", choices=["stencil5", "stencil5-bf16c", "stencil5-const"])
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--maxiter", type=int, default=1000)
     p.add_argument("--json", default=None)
