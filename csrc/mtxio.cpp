@@ -75,64 +75,55 @@ inline const char* parse_i64(const char* p, const char* end, int64_t* out) {
     return p;
 }
 
-// Fast double parser for the common "[-]ddd.ddd[eE[+-]dd]" case; falls back to strtod for
-// anything exotic so correctness never depends on the fast path.
+// strtod on a whitespace-delimited token starting at `start`.
+inline const char* strtod_token(const char* start, const char* end, double* out) {
+    char buf[80];
+    size_t span = 0;
+    const char* q = start;
+    while (q < end && !(*q == ' ' || *q == '\t' || *q == '\n' || *q == '\r') &&
+           span < sizeof(buf) - 1) {
+        buf[span++] = *q++;
+    }
+    buf[span] = '\0';
+    char* e = nullptr;
+    *out = strtod(buf, &e);
+    if (e == buf) return nullptr;
+    return start + (e - buf);
+}
+
+// Fast double parser for the common short "[-]ddd.ddd" case.  The fast path is taken ONLY
+// when it is provably bit-exact: <= 15 mantissa digits (so the integer fits 2^53 exactly)
+// and a |10^k| <= 22 scale (exactly representable), one rounding total.  Everything else —
+// exponents, long mantissas (e.g. %.17g output), leading-zero-heavy fractions — delegates
+// to strtod, so correctness NEVER depends on the fast path.
 inline const char* parse_f64(const char* p, const char* end, double* out) {
     p = skip_ws(p, end);
     const char* start = p;
-    bool neg = false;
-    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+    if (p < end && (*p == '-' || *p == '+')) ++p;
     uint64_t mant = 0;
-    int digits = 0, frac_digits = 0, exp10 = 0;
-    bool any = false;
+    int digits = 0, frac_digits = 0;
+    bool any = false, slow = false;
     while (p < end && *p >= '0' && *p <= '9') {
-        if (digits < 18) { mant = mant * 10 + (*p - '0'); ++digits; } else { ++exp10; }
+        if (digits < 15) { mant = mant * 10 + (*p - '0'); ++digits; } else { slow = true; }
         ++p; any = true;
     }
     if (p < end && *p == '.') {
         ++p;
         while (p < end && *p >= '0' && *p <= '9') {
-            if (digits < 18) { mant = mant * 10 + (*p - '0'); ++digits; ++frac_digits; }
+            if (digits < 15) { mant = mant * 10 + (*p - '0'); ++digits; ++frac_digits; }
+            else { slow = true; }
             ++p; any = true;
         }
     }
     if (!any) return nullptr;
-    if (p < end && (*p == 'e' || *p == 'E')) {
-        // exponent present: delegate to strtod for exact semantics
-        char buf[64];
-        size_t span = 0;
-        const char* q = start;
-        while (q < end && !(*q == ' ' || *q == '\t' || *q == '\n' || *q == '\r') &&
-               span < sizeof(buf) - 1) {
-            buf[span++] = *q++;
-        }
-        buf[span] = '\0';
-        char* e = nullptr;
-        *out = strtod(buf, &e);
-        if (e == buf) return nullptr;
-        return start + (e - buf);
+    if (slow || (p < end && (*p == 'e' || *p == 'E')) || frac_digits > 15) {
+        return strtod_token(start, end, out);
     }
-    exp10 -= frac_digits;
-    double v = static_cast<double>(mant);
-    // exact powers of ten for the |exp10| <= 22 range keep the fast path bit-exact
+    // exact powers of ten keep the fast path bit-exact (frac_digits <= 15 < 22 always here)
     static const double pow10[] = {1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8, 1e9, 1e10,
-                                   1e11, 1e12, 1e13, 1e14, 1e15, 1e16, 1e17, 1e18, 1e19,
-                                   1e20, 1e21, 1e22};
-    if (exp10 >= 0 && exp10 <= 22) {
-        v *= pow10[exp10];
-    } else if (exp10 < 0 && exp10 >= -22) {
-        v /= pow10[-exp10];
-    } else {
-        // |exp10| > 22: exact scaling is not representable in one multiply; strtod decides.
-        // buf starts at `start` (sign included), so no extra negation here.
-        char buf[64];
-        size_t span = std::min<size_t>(static_cast<size_t>(p - start), sizeof(buf) - 1);
-        memcpy(buf, start, span);
-        buf[span] = '\0';
-        *out = strtod(buf, nullptr);
-        return p;
-    }
-    *out = neg ? -v : v;
+                                   1e11, 1e12, 1e13, 1e14, 1e15};
+    double v = static_cast<double>(mant) / pow10[frac_digits];
+    *out = (*start == '-') ? -v : v;
     return p;
 }
 
@@ -204,6 +195,15 @@ int64_t mtx_read_entries(const char* path, int64_t cap, int64_t* r, int64_t* c, 
         v[k] = val;
         ++k;
         p = skip_line(q, end);
+    }
+    // Detect surplus data lines beyond the header's promised count so a corrupt file fails
+    // identically on the native and numpy paths (return cap+1 → caller's count check trips).
+    while (p < end) {
+        p = skip_ws(p, end);
+        if (p >= end) break;
+        if (*p == '\n') { ++p; continue; }
+        if (*p == '%') { p = skip_line(p, end); continue; }
+        return k + 1;
     }
     return k;
 }

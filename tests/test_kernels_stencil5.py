@@ -104,10 +104,9 @@ def test_halo_rows_used():
     y = spmv_stencil5_pallas(planes_band, xb, hp, hn, block_rows=8, interpret=True)
     np.testing.assert_allclose(np.asarray(y), y_ref[4:8], rtol=1e-12, atol=1e-12)
 
-    # const variant with row_offset
+    # const variant: row-offset agnostic — interior-band halos carry the boundary data
     yc = spmv_stencil5_const_pallas(
-        xb, hp, hn, diag=5.0, offdiag=-1.0, grid_rows_total=g, row_offset=4,
-        block_rows=8, interpret=True,
+        xb, hp, hn, diag=5.0, offdiag=-1.0, block_rows=8, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(yc), y_ref[4:8], rtol=1e-12, atol=1e-12)
 

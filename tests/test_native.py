@@ -69,3 +69,40 @@ def test_native_header_error_on_garbage(tmp_path):
         f.write("garbage\n")
     with pytest.raises(ValueError):
         native.read_mtx(p)
+
+
+def test_native_parse_f64_exact_roundtrip(tmp_path):
+    """The native parser must agree with strtod bit-for-bit on %.17g output — long mantissas
+    (including leading-zero-heavy fractions) must NOT take a truncating fast path."""
+    if not native.available():
+        pytest.skip("native extension not built")
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        rng.randn(500) * 10.0 ** rng.randint(-12, 12, 500),  # wide exponent range
+        rng.rand(500) * 1e-3,                                # leading-zero fractions
+        np.array([5.0, -1.0, 0.0007504511958064573, 1e300, -1e-300]),
+    ])
+    n = len(vals)
+    p = str(tmp_path / "rt.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write(f"{n} {n} {n}\n")
+        for i, v in enumerate(vals):
+            f.write(f"{i + 1} {i + 1} {v:.17g}\n")
+    rows, cols, r, c, v, grid = native.read_mtx(p)
+    assert np.array_equal(v, vals), "native parse differs from written values"
+
+
+def test_native_rejects_surplus_entries(tmp_path):
+    """A file with MORE data lines than the header promises must fail on the native path
+    exactly like the numpy fallback does."""
+    if not native.available():
+        pytest.skip("native extension not built")
+    p = str(tmp_path / "surplus.mtx")
+    with open(p, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        f.write("2 2 1\n")
+        f.write("1 1 1.0\n")
+        f.write("2 2 2.0\n")
+    with pytest.raises(ValueError):
+        native.read_mtx(p)

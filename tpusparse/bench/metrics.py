@@ -68,12 +68,29 @@ def bytes_dia(rows: int, ndiag: int, itemsize: int) -> int:
     return (ndiag + 2) * rows * itemsize
 
 
+def _bytes_ell_op(op, itemsize):
+    """Actual ELL traffic: the padded (rows, width) val/col arrays, not nnz (bytes_ell)."""
+    val = (op._buffers or {}).get("val")
+    if val is not None:
+        return bytes_ell(val.shape[0], val.shape[1] if val.ndim > 1 else 1, itemsize)
+    return bytes_csr(op.nnz, op.num_rows, itemsize)
+
+
+def _bytes_dia_op(op, itemsize):
+    """Actual DIA traffic: the full (ndiag, padded-rows) data array the kernel streams —
+    includes stored zeros where diagonals exit the matrix and the lane padding — plus x, y."""
+    data = (op._buffers or {}).get("data")
+    if data is not None:
+        return (int(data.size) + 2 * op.field_elems) * itemsize
+    return (op.nnz + 2 * op.num_rows) * itemsize
+
+
 BYTE_MODELS = {
-    "csr": lambda op, itemsize: bytes_csr(op.nnz, op.num_rows, itemsize),
-    "ell": lambda op, itemsize: bytes_csr(op.nnz, op.num_rows, itemsize),
+    "csr": lambda op, itemsize: _bytes_ell_op(op, itemsize),
+    "ell": lambda op, itemsize: _bytes_ell_op(op, itemsize),
     "bcoo": lambda op, itemsize: op.nnz * (itemsize + 8) + 2 * op.num_rows * itemsize,
-    "dia": lambda op, itemsize: (op.nnz + 2 * op.num_rows) * itemsize,  # data + x + y
-    "dia-xla": lambda op, itemsize: (op.nnz + 2 * op.num_rows) * itemsize,
+    "dia": _bytes_dia_op,
+    "dia-xla": _bytes_dia_op,
     "stencil5": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),
     "stencil5-xla": lambda op, itemsize: bytes_stencil5(op.num_rows, itemsize),
     # bf16 coefficient storage: 5 planes at 2 B + x,y at the state itemsize

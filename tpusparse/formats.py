@@ -286,6 +286,12 @@ def csr_to_stencil5(csr: CSRMatrix, grid_size: Optional[int] = None) -> Stencil5
         raise ValueError(f"matrix ({csr.num_rows}x{csr.num_cols}) is not a g^2 square, g={g}")
     rows = np.repeat(np.arange(csr.num_rows, dtype=np.int64), np.diff(csr.row_ptr))
     offs = csr.col_idx - rows
+    # duplicate (row, col) entries: SpMV semantics would ADD them, but the fancy-index
+    # plane assignment below keeps only the last — reject instead of silently diverging
+    # (coo_to_csr sorts per row, so duplicates are adjacent)
+    dup = (np.diff(csr.col_idx) == 0) & (rows[1:] == rows[:-1])
+    if np.any(dup):
+        raise ValueError("matrix has duplicate (row, col) entries — accumulate them first")
     planes = np.zeros((5, g, g), dtype=csr.val.dtype)
     i = rows // g
     j = rows % g

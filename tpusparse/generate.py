@@ -69,11 +69,13 @@ def make_stencil5_planes_device(grid_size: int, diag=DEFAULT_DIAG, offdiag=DEFAU
 
 def write_matrix_market_stencil5(path: str, grid_size: int, diag: float = DEFAULT_DIAG,
                                  offdiag: float = DEFAULT_OFFDIAG, chunk_rows: int = 512) -> int:
-    """Write the stencil matrix as .mtx, byte-compatible in structure with the reference's
-    writer (io.cu:349-351 header; :362-393 per-point diag-then-neighbors, 1-based).
+    """Write the stencil matrix as .mtx with the reference's header format (io.cu:349-351)
+    and 1-based entries.  Returns nnz written.  Uses the native C++ writer when available.
 
-    Entry order per grid point matches the reference: C, N, S, W, E (io.cu:373-391) — readers
-    sort rows anyway.  Returns nnz written.  Uses the native C++ writer when available.
+    Entry-ORDER caveat: the native writer emits per grid point in the reference's C, N, S,
+    W, E order (io.cu:373-391); the numpy fallback groups entries by record type per
+    grid-row chunk.  The parsed matrix is identical (readers sort rows), but the two paths
+    are NOT line-for-line diffable against each other.
     """
     from . import native
 

@@ -29,6 +29,11 @@ def read_matrix_type(path: str) -> str:
     toks = banner.lower().split()
     if "matrix" not in toks or "coordinate" not in toks:
         raise ValueError(f"{path}: only 'matrix coordinate' files are supported")
+    # 'complex' files would silently drop imaginary parts and 'pattern' files have no value
+    # column — reject loudly instead of loading a wrong matrix (reference supports real only)
+    if not ("real" in toks or "integer" in toks):
+        raise ValueError(f"{path}: unsupported field type in banner (need real/integer): "
+                         f"{banner.strip()}")
     if "symmetric" in toks:
         return "symmetric"
     if "general" in toks:
@@ -92,11 +97,11 @@ def write_matrix_market(path: str, coo: COOMatrix) -> None:
         f.write(f"{coo.num_rows} {coo.num_cols} {coo.nnz}\n")
         for chunk in range(0, coo.nnz, 1 << 20):
             sl = slice(chunk, min(chunk + (1 << 20), coo.nnz))
-            block = np.stack(
-                [coo.row[sl] + 1, coo.col[sl] + 1], axis=1
-            )
             lines = [
-                f"{int(rr)} {int(cc)} {vv:.17g}\n"
-                for (rr, cc), vv in zip(block, coo.val[sl])
+                f"{rr} {cc} {vv:.17g}\n"
+                for rr, cc, vv in zip(
+                    (coo.row[sl] + 1).tolist(), (coo.col[sl] + 1).tolist(),
+                    coo.val[sl].tolist(),
+                )
             ]
             f.write("".join(lines))

@@ -37,7 +37,7 @@ def _auto_interpret(interpret: bool) -> bool:
     return interpret or jax.default_backend() == "cpu"
 
 
-def plan_dia(offsets, n_rows128: int):
+def plan_dia(offsets):
     """Static planning: per-diagonal (q, s) decomposition relative to the window start."""
     offsets = [int(o) for o in offsets]
     qs = [(o // LANES, o % LANES) for o in offsets]  # floor div: s in [0, 128)
@@ -95,7 +95,7 @@ def spmv_dia_pallas(data128, x128, *, offsets: tuple, block_rows128: int = 0,
     ndiag, nr, lanes = data128.shape
     assert lanes == LANES and len(offsets) == ndiag
     assert x128.shape == (nr, LANES), (x128.shape, nr)
-    qs, min_q, max_q = plan_dia(offsets, nr)
+    qs, min_q, max_q = plan_dia(offsets)
     bnr = block_rows128 or max(8, min(512, (1 << 20) // (max(ndiag, 1) * LANES * 4)))
     bnr = min(bnr, nr if nr < 8 else nr - nr % 8 if nr % 8 else nr)
     if bnr % 8 and nr >= 8:

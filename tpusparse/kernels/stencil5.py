@@ -166,6 +166,10 @@ def spmv_stencil5_pallas(planes, x, halo_prev=None, halo_next=None, *, block_row
         halo_next = jnp.zeros((1, g), x.dtype)
     bg = block_rows or _pick_block_rows(g, itemsize=x.dtype.itemsize)
     bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    if bg % _ROWWIN and bg != rows:
+        # multi-block with a non-×8 slab would hit _build_specs' single-block branch whose
+        # neighbor windows always point at block 0 — silently wrong results.  Round down.
+        bg = max(_ROWWIN, bg - bg % _ROWWIN)
     (nblocks, row_in_win, planes_spec, xm_spec, xtop_spec, xbot_spec, halo_spec,
      y_spec) = _build_specs(rows, g, bg)
     del is_sharded_band  # behavior is uniform; halos default to zeros on a single chip
@@ -201,8 +205,8 @@ def spmv_stencil5_pallas(planes, x, halo_prev=None, halo_next=None, *, block_row
 
 def _stencil5_const_kernel(xm_ref, xtop_ref, xbot_ref, hprev_ref, hnext_ref, y_ref,
                            *maybe_dot_ref,
-                           diag: float, offdiag: float, nrows_total: int, local_rows: int,
-                           block_rows: int, row_offset_static: int, gcols: int,
+                           diag: float, offdiag: float, local_rows: int,
+                           block_rows: int, gcols: int,
                            with_dot: bool, row_in_win: int = 0):
     """Constant-coefficient fast path: no planes in memory at all (16 B/row in f64 terms —
     the extension flagged in SURVEY.md §6).  Boundary masking via iota row/col indices."""
@@ -251,31 +255,31 @@ def _stencil5_const_kernel(xm_ref, xtop_ref, xbot_ref, hprev_ref, hnext_ref, y_r
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "diag", "offdiag", "grid_rows_total", "row_offset", "block_rows", "with_dot",
-        "interpret",
-    ),
+    static_argnames=("diag", "offdiag", "block_rows", "with_dot", "interpret"),
 )
 def spmv_stencil5_const_pallas(x, halo_prev=None, halo_next=None, *, diag: float = 5.0,
-                               offdiag: float = -1.0, grid_rows_total: int = 0,
-                               row_offset: int = 0, block_rows: int = 0,
+                               offdiag: float = -1.0, block_rows: int = 0,
                                with_dot: bool = False, interpret: bool = False):
-    """Values-free constant-coefficient stencil SpMV: y = diag·x + offdiag·Σ neighbors."""
+    """Values-free constant-coefficient stencil SpMV: y = diag·x + offdiag·Σ neighbors.
+
+    Row-offset agnostic: the global top/bottom grid boundaries always arrive as zero halo
+    rows, so no row_offset/total-rows parameters exist (boundary is data, not control flow)."""
     interpret = _auto_interpret(interpret)
     rows, g = x.shape
-    total = grid_rows_total or rows
     if halo_prev is None:
         halo_prev = jnp.zeros((1, g), x.dtype)
     if halo_next is None:
         halo_next = jnp.zeros((1, g), x.dtype)
     bg = block_rows or _pick_block_rows(g, itemsize=x.dtype.itemsize)
     bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    if bg % _ROWWIN and bg != rows:
+        bg = max(_ROWWIN, bg - bg % _ROWWIN)  # see spmv_stencil5_pallas: window-spec trap
     (nblocks, row_in_win, _, xm_spec, xtop_spec, xbot_spec, halo_spec,
      y_spec) = _build_specs(rows, g, bg)
     kernel = functools.partial(
         _stencil5_const_kernel,
-        diag=diag, offdiag=offdiag, nrows_total=total, local_rows=rows, block_rows=bg,
-        row_offset_static=row_offset, gcols=g, with_dot=with_dot, row_in_win=row_in_win,
+        diag=diag, offdiag=offdiag, local_rows=rows, block_rows=bg,
+        gcols=g, with_dot=with_dot, row_in_win=row_in_win,
     )
     out_shape = [jax.ShapeDtypeStruct((rows, g), x.dtype)]
     out_specs = [y_spec]
