@@ -51,6 +51,10 @@ def build_parser():
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.host and args.device:
+        # argv-only check: fail before the (possibly expensive) load + operator build
+        print("[ERROR] --host and --device are mutually exclusive", file=sys.stderr)
+        return 2
     from ..dist import enable_compilation_cache
 
     enable_compilation_cache()
@@ -89,10 +93,6 @@ def main(argv=None) -> int:
             x, st = cg.cg_solve(op, b, config=config, b_is_ones=not padded_field)
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
-
-    if args.host and args.device:
-        print("[ERROR] --host and --device are mutually exclusive", file=sys.stderr)
-        return 2
 
     # reference: device path gets 10-run stats, host path a single run (cg_solver.cu:172-181)
     if args.host and not args.timers:

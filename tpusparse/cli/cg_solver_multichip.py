@@ -52,21 +52,22 @@ def main(argv=None) -> int:
 
     enable_compilation_cache()
     if args.multihost:
-        import jax
+        from ..dist import initialize_multihost
 
-        jax.distributed.initialize()
+        initialize_multihost()
     import jax
     import jax.numpy as jnp
 
     from ..bench import export, metrics, stats, sysinfo
+    from ..dist import make_band_mesh
     from ..solvers import cg_sharded
 
     if not args.matrix.startswith("gen:"):
         print("[ERROR] multichip solver takes gen:<grid_size> operands", file=sys.stderr)
         return 2
     g = int(args.matrix[4:])
-    nchips = args.chips or jax.device_count()
-    mesh = jax.make_mesh((nchips,), ("x",), devices=jax.devices()[:nchips])
+    mesh = make_band_mesh(args.chips)
+    nchips = mesh.devices.size
     info = sysinfo.get_system_info()
     is_primary = jax.process_index() == 0
     if is_primary:
@@ -115,9 +116,15 @@ def main(argv=None) -> int:
         imbalance = 100.0 * op.row_pad / band if band else 0.0
         print(f"Load imbalance:      {imbalance:.2f}% "
               f"(row padding {op.row_pad} of band {band}; SPMD lockstep otherwise)")
-    x_host = np.asarray(jax.device_get(x), np.float64).ravel()
+    from ..dist import gather_to_host
+
+    # multi-process arrays are not fully addressable: the gather helper handles both cases
+    # (the MPI_Gatherv analog, cg_solver_mgpu_partitioned.cu:834-851)
+    x_host = np.asarray(gather_to_host(x), np.float64).ravel()[: g * g]
     result = export.cg_result_dict(
-        solver=f"tpusparse-cg-sharded-{nchips}chip", mode=args.mode,
+        # op.mode, not args.mode: a padded stencil5-const request falls back to values-
+        # carrying stencil5 and the record must say what actually ran
+        solver=f"tpusparse-cg-sharded-{nchips}chip", mode=op.mode,
         matrix_name=f"stencil5-{g}x{g}", op=op, cg_stats=cg_stats, bench_stats=bench,
         sysinfo=info, sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
         gflops_spmv=metrics.cg_gflops(op.nnz, cg_stats.iterations, bench.median_ms * 0.45),

@@ -56,7 +56,12 @@ def load_operand(spec: str):
 
     if spec.startswith("gen:"):
         g = int(spec[4:])
-        return generate.make_stencil5(g), f"stencil5-{g}x{g}"
+        import numpy as np
+
+        # f32 host planes: the generator's coefficients (5, -1, 0) are exact in f32, and
+        # f64 planes at g=20480 would cost 16.8 GB of host RAM for nothing.  f64 runs cast
+        # up losslessly.
+        return generate.make_stencil5(g, dtype=np.float32), f"stencil5-{g}x{g}"
     coo = io_mtx.load_matrix_market(spec)
     return formats.coo_to_csr(coo), os.path.basename(spec)
 

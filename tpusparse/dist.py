@@ -72,6 +72,24 @@ def local_band_rows(grid_size: int, num_devices: int, device_index: int) -> tupl
     return lo, hi
 
 
+def gather_to_host(x, rows: int = 0):
+    """Fetch a (possibly row-sharded, possibly non-fully-addressable) array to host numpy.
+
+    Single-process arrays go through ``jax.device_get``; multi-process (pod) arrays are not
+    fully addressable and need ``process_allgather`` (the MPI_Gatherv analog,
+    cg_solver_mgpu_partitioned.cu:834-851 — except every host gets the result).
+    ``rows`` > 0 drops a padded row tail."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(x, tiled=True)
+    else:
+        out = jax.device_get(x)
+    return out[:rows] if rows else out
+
+
 def env_flag(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     return default if v is None else v not in ("0", "false", "False", "")

@@ -76,6 +76,12 @@ class DeviceOperator:
         """Reshape a length-num_cols vector into the operator's 2-D field, zero-padding the
         tail when the field is larger than the vector space (e.g. lane-padded DIA)."""
         x = jnp.asarray(x_flat).reshape(-1)
+        if x.shape[0] > self.field_elems:
+            # .at[].set silently clips out-of-range updates — that would drop the tail of x
+            raise ValueError(
+                f"vector of length {x.shape[0]} does not fit the operator field "
+                f"{self.field_shape} ({self.field_elems} elements)"
+            )
         if self.field_elems != x.shape[0]:
             x = jnp.zeros((self.field_elems,), x.dtype).at[: x.shape[0]].set(x)
         return x.reshape(self.field_shape)
@@ -133,7 +139,18 @@ class DeviceOperator:
             self._buffers, dict) else _default_dtype()
 
     def free(self):
+        """Drop ALL device references (reference op->free).  The operator is unusable after;
+        re-init with get_operator.  Clearing the callables matters: the _wrap_ops closures
+        hold the operands, so nulling _buffers alone would keep the device arrays alive."""
+        def _freed(*_a, **_k):
+            raise RuntimeError("operator was freed; re-create it with get_operator()")
+
         self._buffers = None
+        self.operands = ()
+        self.run_device = _freed
+        self.run_device_dot = _freed
+        self.run_device_op = _freed
+        self.run_device_dot_op = _freed
 
 
 # ---------------------------------------------------------------------------

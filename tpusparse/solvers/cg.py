@@ -134,6 +134,9 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         spmv_dot = op.run_device_dot_op
         operands = op.operands
         # the operator carries its own plain SpMV: nonzero x0 needs no extra argument
+        if nonzero_x0 and op.run_device_op is None:
+            # silently treating this as x0 = 0 would converge to x0 + A⁻¹b
+            raise ValueError("nonzero x0 requires the operator to provide run_device_op")
         spmv_op = op.run_device_op if nonzero_x0 else None
         key_id = ("op", op.name, op.num_rows, id(op.run_device_dot_op), nonzero_x0)
     else:

@@ -177,7 +177,12 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
         # Padded rows need zero coefficients to stay decoupled; only the values-carrying
         # operand can express that, so fall back to it (reference parity: the last rank
         # absorbs the remainder, cg_solver_mgpu_partitioned.cu:262-268 — here the padding
-        # plays that role uniformly).
+        # plays that role uniformly).  LOUDLY: the performance profile changes (7 vs 2
+        # words/pt) and exporters must record the effective mode (op.mode), not the request.
+        import sys as _sys
+
+        print(f"[tpusparse] stencil5-const needs g % {naxis} == 0; grid {g} pads {pad} "
+              f"rows → falling back to values-carrying stencil5", file=_sys.stderr)
         mode = "stencil5"
     if mode in ("stencil5", "stencil5-bf16c"):
         if planes is None:
@@ -211,9 +216,9 @@ _SOLVER_CACHE = {}
 
 
 def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
-                          use_pallas_blas1: bool):
+                          use_pallas_blas1: bool, synth_b: bool = False):
     key = (id(op.mesh), op.grid_size, op.mode, op.diag, op.offdiag, str(op.dtype),
-           op.overlap, max_iters, tolerance, use_pallas_blas1)
+           op.overlap, max_iters, tolerance, use_pallas_blas1, synth_b)
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
 
@@ -221,9 +226,21 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
     axis = "x"
     naxis = mesh.devices.size
     has_planes = op.mode in ("stencil5", "stencil5-bf16c")
+    g = op.grid_size
+    band = (g + op.row_pad) // naxis
+
+    def _local_ones_b():
+        """The canonical b = ones band, synthesized per shard: no (g, g) host buffer is
+        ever built or resharded (the reference builds full b on every rank, :68-74).
+        Padded rows (global row ≥ g) are zero — they are decoupled from the system."""
+        idx = jax.lax.axis_index(axis)
+        lrow = jnp.arange(band, dtype=jnp.int32)[:, None] + idx * band
+        return jnp.broadcast_to((lrow < g).astype(op.dtype), (band, g))
 
     def local_cg(b_l, planes_l):
         """Runs per shard inside shard_map.  b_l: (band, g) local rows."""
+        if synth_b:
+            b_l = _local_ones_b()
 
         def spmv_dot(p_l):
             return op.local_spmv_dot(planes_l, p_l, axis, naxis)
@@ -266,16 +283,25 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
         sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
         return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
-    in_specs = (P(axis, None), P(None, axis, None) if has_planes else P())
-    sharded = jax.shard_map(
-        local_cg, mesh=mesh, in_specs=in_specs,
-        out_specs=(P(axis, None), P()),
-        check_vma=False,
-    )
+    pspec = P(None, axis, None) if has_planes else P()
+    if synth_b:
+        sharded = jax.shard_map(
+            lambda planes_l: local_cg(None, planes_l), mesh=mesh, in_specs=(pspec,),
+            out_specs=(P(axis, None), P()), check_vma=False,
+        )
 
-    @jax.jit
-    def solve(b, planes):
-        return sharded(b, planes)
+        @jax.jit
+        def solve(planes):
+            return sharded(planes)
+    else:
+        sharded = jax.shard_map(
+            local_cg, mesh=mesh, in_specs=(P(axis, None), pspec),
+            out_specs=(P(axis, None), P()), check_vma=False,
+        )
+
+        @jax.jit
+        def solve(b, planes):
+            return sharded(b, planes)
 
     _SOLVER_CACHE[key] = solve
     return solve
@@ -293,26 +319,32 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
         mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag, dtype=dtype,
         overlap=overlap,
     )
+    synth_b = b is None
     solve = _build_sharded_solver(op, max_iters, float(tolerance),
-                                  _resolve_blas1(use_pallas_blas1))
-    if b is None:
-        b = jnp.ones((grid_size, grid_size), dtype)
-    if op.row_pad:
-        b = jnp.concatenate(
-            [b.astype(dtype), jnp.zeros((op.row_pad, grid_size), dtype)], axis=0
-        )
-    b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P("x", None)))
+                                  _resolve_blas1(use_pallas_blas1), synth_b=synth_b)
     planes_arg = (op.planes if op.mode in ("stencil5", "stencil5-bf16c")
                   else jnp.zeros((), dtype))
-    t0 = time.perf_counter()
-    x, scalars = solve(b, planes_arg)
+    if synth_b:
+        t0 = time.perf_counter()
+        x, scalars = solve(planes_arg)
+    else:
+        if op.row_pad:
+            b = jnp.concatenate(
+                [b.astype(dtype), jnp.zeros((op.row_pad, grid_size), dtype)], axis=0
+            )
+        b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P("x", None)))
+        t0 = time.perf_counter()
+        x, scalars = solve(b, planes_arg)
     rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
     x.block_until_ready()
+    total_ms = (time.perf_counter() - t0) * 1e3
     if op.row_pad:
         # Slicing a row-sharded array across shard boundaries is ambiguous for the
-        # partitioner; the padded tail is dropped host-side (callers consume x on host).
-        x = jax.device_get(x)[:grid_size]
-    total_ms = (time.perf_counter() - t0) * 1e3
+        # partitioner; the padded tail is dropped host-side (callers consume x on host),
+        # OUTSIDE the timed region and multi-process-safe.
+        from ..dist import gather_to_host
+
+        x = gather_to_host(x, rows=grid_size)
     res = rr ** 0.5
     stats = CGStats(
         iterations=int(k_f),
