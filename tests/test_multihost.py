@@ -35,8 +35,15 @@ x, stats = cg_sharded.cg_solve_sharded(mesh, g, mode="stencil5", dtype=jnp.float
 # multihost arrays are only addressable per-shard; gather via process_allgather
 from jax.experimental import multihost_utils
 x_full = multihost_utils.process_allgather(x, tiled=True)
+
+# padded grid (30 % 8 != 0): the solver's internal slice must use the multi-process-safe
+# gather (a bare device_get on a non-fully-addressable array raises)
+import numpy as np
+x_pad, s_pad = cg_sharded.cg_solve_sharded(mesh, 30, mode="stencil5", dtype=jnp.float64)
+assert np.asarray(x_pad).shape == (30, 30), x_pad.shape
+assert s_pad.converged and np.isfinite(np.asarray(x_pad)).all()
+
 if jax.process_index() == 0:
-    import numpy as np
     print(f"RESULT iters={stats.iterations} sum={np.asarray(x_full).sum():.12f} "
           f"norm={np.linalg.norm(np.asarray(x_full)):.12f}", flush=True)
 """
