@@ -2,9 +2,10 @@
 """Plot benchmark results — the reference's scripts/plotting/plot_results.py role.
 
 Reads results/json/*.json produced by run_all.py / sweep.py and writes PNGs:
-  - spmv_comparison.png : per-mode SpMV time + bandwidth bars
+  - spmv_comparison.png : per-mode SpMV kernel time (log) + bandwidth bars (roofline % is in
+                          the JSONs/human report)
   - cg_scaling.png      : strong-scaling time + efficiency vs chip count
-  - roofline.png        : achieved bandwidth vs chip HBM peak per mode
+  - cg_problem_size.png : measured single-chip solves vs the reference's published A100 curve
 
 Unlike the reference's plotting scripts (which hardcode showcase numbers,
 SURVEY.md §2.9), these only ever plot measured JSONs.
