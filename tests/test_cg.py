@@ -36,8 +36,18 @@ def reference_cg(A, b, tol=1e-6, max_iters=1000):
     return x, it, rr_new ** 0.5 / b_norm
 
 
+
+# These tests drive f64 operands through Pallas kernels — possible only on the CPU backend
+# (Mosaic has no f64; SURVEY.md §7).  The f32/bf16 solver tests below run on TPU too.
+_f64_kernels = pytest.mark.skipif(
+    __import__("jax").default_backend() != "cpu",
+    reason="f64 Pallas kernels are CPU/interpret-only (Mosaic has no f64)",
+)
+
+
 @pytest.mark.parametrize("g", [8, 16, 33])
 @pytest.mark.parametrize("mode", ["stencil5", "stencil5-const", "dia", "csr", "bcoo"])
+@_f64_kernels
 def test_cg_iteration_parity_f64(g, mode):
     st = generate.make_stencil5(g)
     A = formats.stencil5_to_csr(st).to_dense()
@@ -56,6 +66,7 @@ def test_cg_iteration_parity_f64(g, mode):
     assert res < 1e-6
 
 
+@_f64_kernels
 def test_cg_checksums_match_reference_algorithm():
     """Sum(x)/Norm2(x) checksum discipline (reference cg_solver.cu main :211-219)."""
     g = 24
@@ -70,6 +81,7 @@ def test_cg_checksums_match_reference_algorithm():
     np.testing.assert_allclose(np.linalg.norm(x), np.linalg.norm(x_ref), rtol=1e-10)
 
 
+@_f64_kernels
 def test_cg_stepped_matches_fused():
     g = 16
     st = generate.make_stencil5(g)
@@ -82,6 +94,7 @@ def test_cg_stepped_matches_fused():
     assert s2.spmv_time_ms > 0 and s2.blas1_time_ms > 0
 
 
+@_f64_kernels
 def test_cg_nonzero_x0():
     g = 12
     st = generate.make_stencil5(g)
@@ -95,6 +108,7 @@ def test_cg_nonzero_x0():
     assert res / np.sqrt(g * g) < 1e-5
 
 
+@_f64_kernels
 def test_cg_max_iters_cap():
     g = 10
     st = generate.make_stencil5(g)
@@ -121,6 +135,7 @@ def test_cg_f32_converges_with_relaxed_tol():
     assert res / g < 1e-3
 
 
+@_f64_kernels
 def test_cg_nonzero_x0_operator_path():
     """Passing the operator itself with a nonzero x0 must use r0 = b - A x0 automatically
     (regression: the operator path used to silently take the x0 = 0 fast path)."""

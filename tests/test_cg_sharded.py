@@ -16,12 +16,21 @@ from tpusparse.solvers import cg, cg_sharded
 from .test_cg import reference_cg
 
 
+_f64_kernels = pytest.mark.skipif(
+    __import__("jax").default_backend() != "cpu",
+    reason="f64 Pallas kernels are CPU/interpret-only (Mosaic has no f64)",
+)
+
+
 def _mesh(n):
-    return jax.make_mesh((n,), ("x",))
+    if jax.device_count() < n:
+        pytest.skip(f"needs {n} devices, have {jax.device_count()}")
+    return jax.make_mesh((n,), ("x",), devices=jax.devices()[:n])
 
 
 @pytest.mark.parametrize("ndev", [1, 2, 4, 8])
 @pytest.mark.parametrize("mode", ["stencil5", "stencil5-const"])
+@_f64_kernels
 def test_sharded_iteration_parity(ndev, mode):
     g = 16
     st = generate.make_stencil5(g)
@@ -37,6 +46,7 @@ def test_sharded_iteration_parity(ndev, mode):
     np.testing.assert_allclose(np.asarray(x).ravel(), x_ref, rtol=1e-8, atol=1e-10)
 
 
+@_f64_kernels
 def test_sharded_checksums_match_across_shard_counts():
     """Sum(x)/Norm2(x) identical across shard counts within FP-reassociation tolerance
     (the reference documents ~0.15% variation for AmgX; ours is f64 + identical reduction
@@ -54,6 +64,7 @@ def test_sharded_checksums_match_across_shard_counts():
     np.testing.assert_allclose(norms, norms[0], rtol=1e-12)
 
 
+@_f64_kernels
 def test_sharded_matches_single_chip_solver():
     g = 32
     st = generate.make_stencil5(g)

@@ -11,18 +11,20 @@ from tpusparse.bench import profiling
 def test_make_band_mesh_all_devices():
     mesh = dist.make_band_mesh()
     assert mesh.axis_names == ("x",)
-    assert mesh.devices.size == 8
+    assert mesh.devices.size == jax.device_count()
 
 
 def test_make_band_mesh_subset():
-    mesh = dist.make_band_mesh(4)
-    assert mesh.devices.size == 4
+    n = min(4, jax.device_count())
+    mesh = dist.make_band_mesh(n)
+    assert mesh.devices.size == n
 
 
 def test_describe_mesh():
-    d = dist.describe_mesh(dist.make_band_mesh(2))
-    assert d["axes"] == {"x": 2}
-    assert d["num_devices"] == 2
+    n = min(2, jax.device_count())
+    d = dist.describe_mesh(dist.make_band_mesh(n))
+    assert d["axes"] == {"x": n}
+    assert d["num_devices"] == n
     assert d["num_processes"] == 1
 
 

@@ -9,6 +9,14 @@ from tpusparse.kernels import dia as dia_k
 
 from . import fixtures
 
+# f64 Pallas kernels cannot compile on TPU (Mosaic) — these tests exercise the f64 path and
+# are meaningful only where it exists (the CPU/x64 suite; SURVEY.md §7 "f64 on TPU")
+_f64_kernels = pytest.mark.skipif(
+    __import__("jax").default_backend() != "cpu",
+    reason="f64 Pallas kernels are CPU/interpret-only (Mosaic has no f64)",
+)
+
+
 
 def _dia_spmv(csr, x, block_rows128=8):
     dia = formats.csr_to_dia(csr)
@@ -49,6 +57,7 @@ def test_dia_pallas_large_offsets():
     np.testing.assert_allclose(_dia_spmv(csr, x), csr.to_dense() @ x, rtol=1e-12)
 
 
+@_f64_kernels
 def test_dia_operator_through_registry():
     st = generate.make_stencil5(17)
     csr = formats.stencil5_to_csr(st)
@@ -65,6 +74,7 @@ def test_dia_operator_through_registry():
     np.testing.assert_allclose(float(dot), float(x @ (csr.to_dense() @ x)), rtol=1e-12)
 
 
+@_f64_kernels
 def test_dia_xla_matches_pallas():
     csr = fixtures.banded(200, 3)
     x = np.random.RandomState(4).randn(200)

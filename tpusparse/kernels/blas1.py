@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import x64_off_for_32bit
+
 
 def _pick_block_rows(nrows: int, ncols: int, nstreams: int, itemsize: int = 4,
                      vmem_budget_bytes: int = 4 * 1024 * 1024) -> int:
@@ -84,8 +86,9 @@ def dot_pallas(a, b, *, block_rows: int = 0, interpret: bool = False):
     nrows, ncols = a.shape
     bg = block_rows or _pick_block_rows(nrows, ncols, nstreams=2, itemsize=a.dtype.itemsize)
     acc = _acc_dtype(a.dtype)
-    out = pl.pallas_call(
-        functools.partial(_dot_kernel, bg=bg, nrows=nrows, ncols=ncols),
+    with x64_off_for_32bit(a, b):
+        out = pl.pallas_call(
+            functools.partial(_dot_kernel, bg=bg, nrows=nrows, ncols=ncols),
         grid=(pl.cdiv(nrows, bg),),
         in_specs=[_field_spec(bg, ncols)] * 2,
         out_specs=_scalar_out_spec(),
@@ -122,8 +125,9 @@ def axpby_dot_pallas(alpha, x, beta, y, *, block_rows: int = 0, interpret: bool 
     acc = _acc_dtype(x.dtype)
     a2 = jnp.asarray(alpha, x.dtype).reshape(1, 1)
     b2 = jnp.asarray(beta, x.dtype).reshape(1, 1)
-    z, zz = pl.pallas_call(
-        functools.partial(_axpby_dot_kernel, bg=bg, nrows=nrows, ncols=ncols),
+    with x64_off_for_32bit(x, y):
+        z, zz = pl.pallas_call(
+            functools.partial(_axpby_dot_kernel, bg=bg, nrows=nrows, ncols=ncols),
         grid=(pl.cdiv(nrows, bg),),
         in_specs=[_smem_scalar_spec(), _smem_scalar_spec()] + [_field_spec(bg, ncols)] * 2,
         out_specs=[_field_spec(bg, ncols), _scalar_out_spec()],
@@ -168,8 +172,9 @@ def cg_update_pallas(alpha, x, r, p, ap, *, block_rows: int = 0, interpret: bool
     bg = block_rows or _pick_block_rows(nrows, ncols, nstreams=6, itemsize=x.dtype.itemsize)
     acc = _acc_dtype(x.dtype)
     a2 = jnp.asarray(alpha, x.dtype).reshape(1, 1)
-    xo, ro, rr = pl.pallas_call(
-        functools.partial(_cg_update_kernel, bg=bg, nrows=nrows, ncols=ncols),
+    with x64_off_for_32bit(x, r, p, ap):
+        xo, ro, rr = pl.pallas_call(
+            functools.partial(_cg_update_kernel, bg=bg, nrows=nrows, ncols=ncols),
         grid=(pl.cdiv(nrows, bg),),
         in_specs=[_smem_scalar_spec()] + [_field_spec(bg, ncols)] * 4,
         out_specs=[_field_spec(bg, ncols), _field_spec(bg, ncols), _scalar_out_spec()],
@@ -200,8 +205,9 @@ def p_update_pallas(beta, r, p, *, block_rows: int = 0, interpret: bool = False)
     nrows, ncols = r.shape
     bg = block_rows or _pick_block_rows(nrows, ncols, nstreams=3, itemsize=r.dtype.itemsize)
     b2 = jnp.asarray(beta, r.dtype).reshape(1, 1)
-    return pl.pallas_call(
-        _p_update_kernel,
+    with x64_off_for_32bit(r, p):
+        return pl.pallas_call(
+            _p_update_kernel,
         grid=(pl.cdiv(nrows, bg),),
         in_specs=[_smem_scalar_spec()] + [_field_spec(bg, ncols)] * 2,
         out_specs=_field_spec(bg, ncols),

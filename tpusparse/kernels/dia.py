@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ._compat import x64_off_for_32bit
+
 LANES = 128
 
 
@@ -120,9 +122,10 @@ def spmv_dia_pallas(data128, x128, *, offsets: tuple, block_rows128: int = 0,
     kernel = functools.partial(
         _dia_kernel, offsets_qs=qs, min_q=min_q, max_q=max_q, bnr=bnr, pad_rows=pad_rows
     )
-    return pl.pallas_call(
-        kernel,
-        grid=(pl.cdiv(nr, bnr),),
+    with x64_off_for_32bit(data128, x_padded128):
+        return pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(nr, bnr),),
         in_specs=[
             pl.BlockSpec((ndiag, bnr, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual window DMA

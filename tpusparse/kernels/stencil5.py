@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import C, E, N, S, W
+from ._compat import x64_off_for_32bit
 
 
 def _auto_interpret(interpret: bool) -> bool:
@@ -186,10 +187,11 @@ def spmv_stencil5_pallas(planes, x, halo_prev=None, halo_next=None, *, block_row
 
     flops = 9 * rows * g  # 5 mul + 4 add per point
     bytes_accessed = (5 + 1 + 1) * rows * g * x.dtype.itemsize
-    result = pl.pallas_call(
-        kernel,
-        grid=(nblocks,),
-        in_specs=[planes_spec, xm_spec, xtop_spec, xbot_spec, halo_spec, halo_spec],
+    with x64_off_for_32bit(planes, x):
+        result = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=[planes_spec, xm_spec, xtop_spec, xbot_spec, halo_spec, halo_spec],
         out_specs=out_specs if with_dot else out_specs[0],
         out_shape=out_shape if with_dot else out_shape[0],
         cost_estimate=pl.CostEstimate(
@@ -286,10 +288,11 @@ def spmv_stencil5_const_pallas(x, halo_prev=None, halo_next=None, *, diag: float
     if with_dot:
         out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
         out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
-    result = pl.pallas_call(
-        kernel,
-        grid=(nblocks,),
-        in_specs=[xm_spec, xtop_spec, xbot_spec, halo_spec, halo_spec],
+    with x64_off_for_32bit(x):
+        result = pl.pallas_call(
+            kernel,
+            grid=(nblocks,),
+            in_specs=[xm_spec, xtop_spec, xbot_spec, halo_spec, halo_spec],
         out_specs=out_specs if with_dot else out_specs[0],
         out_shape=out_shape if with_dot else out_shape[0],
         cost_estimate=pl.CostEstimate(
@@ -437,10 +440,11 @@ def spmv_stencil5_pipelined(planes, x, halo_prev=None, halo_next=None, *,
         out_shape.append(jax.ShapeDtypeStruct(
             (1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
         out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
-    result = pl.pallas_call(
-        kernel,
-        grid=(nsteps,),
-        in_specs=[planes_spec, xm_spec, halo_spec, halo_spec],
+    with x64_off_for_32bit(planes, x):
+        result = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[planes_spec, xm_spec, halo_spec, halo_spec],
         out_specs=out_specs if with_dot else out_specs[0],
         out_shape=out_shape if with_dot else out_shape[0],
         scratch_shapes=[
