@@ -23,8 +23,6 @@ def max_grid(hbm_bytes: float, itemsize: int, words_per_point: float,
 
 
 def main() -> int:
-    import jax
-
     from tpusparse.bench import sysinfo
 
     info = sysinfo.get_system_info()

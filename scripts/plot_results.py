@@ -38,8 +38,7 @@ def main() -> int:
 
     # --- SpMV comparison ---
     spmv = {}
-    for p in sorted(glob.glob(f"{args.indir}/*spmv*[!v].json") +
-                    glob.glob(f"{args.indir}/spmv_*.json")):
+    for p in sorted(set(glob.glob(f"{args.indir}/*spmv*.json"))):
         with open(p) as f:
             r = json.load(f)
         if r.get("benchmark_type") != "spmv":

@@ -33,8 +33,15 @@ def main() -> int:
     from tpusparse.cli.spmv_bench import load_operand
 
     dist.enable_compilation_cache()
+    # validate all modes before any (expensive) load or trace — spmv_bench contract
+    modes = [m.strip() for m in args.mode.split(",") if m.strip()]
+    for m in modes:
+        if m not in ops.available_modes():
+            print(f"[ERROR] unknown mode '{m}'. Available: {ops.available_modes()}",
+                  file=sys.stderr)
+            return 2
     mat, name = load_operand(args.matrix)
-    for mode in args.mode.split(","):
+    for mode in modes:
         op = ops.get_operator(mode, mat)
         x = op.ones_b(op._run_dtype())
         op.run_device(x)  # compile outside the capture

@@ -70,7 +70,9 @@ def main() -> int:
         for n, g in pairs:
             if n > ndev:
                 continue
-            g -= g % max(n, 8)  # keep divisible
+            # round down to a multiple of n (never below n); the sharded operator pads
+            # any remainder anyway — this just keeps the sweep sizes tidy
+            g = max(g - g % n, n)
             rc |= cg_solver_multichip.main(
                 [f"gen:{g}", f"--chips={n}", f"--runs={runs}", "--warmup=1",
                  f"--json={args.outdir}/sweep_weak_{n}chip_{g}.json",

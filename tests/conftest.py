@@ -7,15 +7,18 @@ tests/CMakeLists.txt:57-62) and validate numerically against analytical oracles.
 validated only operationally)."""
 
 import os
+import re
 
 # Must be set before the first jax backend initialization.  The suite is designed for the
 # virtual 8-device CPU mesh; set TPUSPARSE_TEST_TPU=1 to run it against real hardware instead.
 _USE_TPU = os.environ.get("TPUSPARSE_TEST_TPU") == "1"
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # force EXACTLY 8 virtual devices, overriding any pre-existing count (a CI image with
+    # device_count=4 would otherwise fail every test on the device-count assert)
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 

@@ -71,7 +71,8 @@ def compare_vectors(got, expected, tier: str = "standard") -> CompareResult:
     expected = np.asarray(expected, np.float64).ravel()
     assert got.shape == expected.shape
     abs_err = np.abs(got - expected)
-    denom = np.maximum(np.abs(expected), 1e-300)
+    # rel error is undefined where expected == 0: report 0 there (abs_err still judges it)
+    denom = np.where(expected != 0, np.abs(expected), np.inf)
     rel_err = abs_err / denom
     ok = abs_err <= atol + rtol * np.abs(expected)
     failed = np.flatnonzero(~ok)
