@@ -23,13 +23,15 @@ from .helpers import Pattern, compare_vectors, make_input
 
 REF_MTX = "/root/reference/matrix/example81x81.mtx"
 
-pytestmark = [
-    pytest.mark.skipif(not os.path.exists(REF_MTX),
-                       reason="reference checkout not available"),
-    # strict 1e-12 cross-validation requires f64 operators — CPU/interpret only
-    pytest.mark.skipif(__import__("jax").default_backend() != "cpu",
-                       reason="f64 operators are CPU/interpret-only (Mosaic has no f64)"),
-]
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_MTX), reason="reference checkout not available"
+)
+
+# strict 1e-12 cross-validation requires f64 operators — CPU/interpret only
+_f64_only = pytest.mark.skipif(
+    __import__("jax").default_backend() != "cpu",
+    reason="f64 operators are CPU/interpret-only (Mosaic has no f64)",
+)
 
 
 @pytest.fixture(scope="module")
@@ -39,6 +41,7 @@ def sample():
     return coo, csr
 
 
+@_f64_only
 def test_sample_matrix_shape_and_header(sample):
     coo, csr = sample
     assert coo.num_rows == coo.num_cols == 6561
@@ -50,6 +53,7 @@ def test_sample_matrix_shape_and_header(sample):
     assert dense[0, 1] == -1.0
 
 
+@_f64_only
 def test_sample_matrix_operator_cross_validation(sample):
     """csr / dia / stencil5 / bcoo all agree with the dense oracle on the reference's own
     data, for every input pattern, at the strict tier (1e-12) in f64."""
@@ -66,6 +70,7 @@ def test_sample_matrix_operator_cross_validation(sample):
             assert res.passed, f"{mode}/{pattern}: {res}"
 
 
+@_f64_only
 def test_sample_matrix_spmv_ones_checksum(sample):
     """Analytical checksum for y = A·ones: sum(y) = sum of all matrix entries.
 
@@ -76,3 +81,22 @@ def test_sample_matrix_spmv_ones_checksum(sample):
     op = ops.get_operator("stencil5", csr, dtype=jnp.float64)
     y = np.asarray(op.run_device(op.as_field(jnp.ones(csr.num_rows, jnp.float64))))
     assert abs(float(y.sum()) - (-52164.0)) < 1e-9
+
+
+def test_sample_matrix_cross_validation_f32():
+    """f32 variant at the relaxed tier — runs on TPU hardware too (the f64 tests above are
+    CPU-only).  Uses its own skip logic instead of the module's f64 marker."""
+    import jax
+
+    del jax  # backend-agnostic: compiled f32 kernels on TPU, interpret on CPU
+    coo = io_mtx.load_matrix_market(REF_MTX)
+    csr = formats.coo_to_csr(coo)
+    dense = csr.to_dense()
+    n = csr.num_rows
+    x = make_input(n, Pattern.ONES)
+    want = dense @ x
+    for mode in ("csr", "stencil5", "stencil5-bf16c"):
+        op = ops.get_operator(mode, csr, dtype=jnp.float32)
+        y = np.asarray(op.run_device(op.as_field(jnp.asarray(x, jnp.float32))))
+        res = compare_vectors(y.reshape(-1)[:n], want, tier="relaxed")
+        assert res.passed, f"{mode}: {res}"
