@@ -88,14 +88,18 @@ def test_two_process_sharded_cg(tmp_path):
         assert rc == 0, f"worker failed:\n{err[-2000:]}"
     result = [ln for ln in outs[0][1].splitlines() if ln.startswith("RESULT")]
     assert result, outs[0][1]
-    # single-process oracle
+    # single-process oracle: needs 8 local devices (the workers already self-validated;
+    # under TPUSPARSE_TEST_TPU=1 the parent has 1 real chip, so skip the comparison)
     import jax
-    import jax.numpy as jnp
 
-    from tpusparse.solvers import cg_sharded
+    if jax.device_count() >= 8 and jax.default_backend() == "cpu":
+        import jax.numpy as jnp
 
-    mesh = jax.make_mesh((8,), ("x",))
-    x, stats = cg_sharded.cg_solve_sharded(mesh, 32, mode="stencil5", dtype=jnp.float64)
-    expect = (f"RESULT iters={stats.iterations} sum={np.asarray(x).sum():.12f} "
-              f"norm={np.linalg.norm(np.asarray(x)):.12f}")
-    assert result[0] == expect, (result[0], expect)
+        from tpusparse.solvers import cg_sharded
+
+        mesh = jax.make_mesh((8,), ("x",))
+        x, stats = cg_sharded.cg_solve_sharded(mesh, 32, mode="stencil5",
+                                               dtype=jnp.float64)
+        expect = (f"RESULT iters={stats.iterations} sum={np.asarray(x).sum():.12f} "
+                  f"norm={np.linalg.norm(np.asarray(x)):.12f}")
+        assert result[0] == expect, (result[0], expect)
