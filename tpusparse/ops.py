@@ -11,8 +11,13 @@ run_device, free}`` (include/spmv.h:125-134) and registry ``get_operator(mode)``
                            distinct diagonals (TPU-native generic structured path).
   - ``"stencil5"``       — the showcase structure-exploiting Pallas kernel
                            (reference "stencil5-csr").
+  - ``"stencil5-bf16c"`` — stencil5 with bf16 coefficient storage (bit-identical for exactly
+                           representable fields, halves plane traffic).
+  - ``"stencil5-xla"``   — pure-XLA shifted-pads stencil: the Pallas oracle, fusion baseline,
+                           and the f64 stencil path on TPU.
   - ``"stencil5-const"`` — values-free constant-coefficient fast path (extension flagged in
                            SURVEY.md §6).
+  - ``"dia-xla"``        — pure-XLA diagonal path (the DIA kernel's oracle).
   - ``"bcoo"``           — jax.experimental.sparse BCOO matvec: the independent
                            industry-reference cross-check (the AmgX role, SURVEY.md §2.7).
 
