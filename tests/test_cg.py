@@ -175,3 +175,35 @@ def test_cg_bf16_coefficients_bitwise_match():
     x16, s16 = cg.cg_solve(op16, b)
     assert s32.iterations == s16.iterations
     assert bool(jnp.all(x32 == x16))
+
+
+def test_cg_zero_rhs_returns_x0_no_nan():
+    """b = 0 ⇒ x = x0 immediately (0 iterations), never a 0/0 NaN step."""
+    import numpy as np
+
+    st = generate.make_stencil5(12)
+    op = ops.get_operator("stencil5", st, dtype=jnp.float64)
+    b = jnp.zeros((12, 12), jnp.float64)
+    x, stats = cg.cg_solve(op, b)
+    assert stats.iterations == 0
+    assert stats.converged
+    assert np.isfinite(np.asarray(x)).all()
+    assert float(jnp.abs(x).max()) == 0.0
+
+
+def test_cg_nonzero_x0_convergence_relative_to_b():
+    """The criterion is ‖r‖ < tol·‖b‖, not tol·‖r0‖: a huge x0 makes ‖r0‖ ≫ ‖b‖, and a
+    solver using ‖r0‖ would stop early with a garbage solution labeled converged."""
+    import numpy as np
+
+    g = 12
+    st = generate.make_stencil5(g)
+    op = ops.get_operator("stencil5", st, dtype=jnp.float64)
+    b = jnp.ones((g, g), jnp.float64)
+    x0 = 1e5 * jnp.asarray(np.random.RandomState(0).randn(g, g))
+    x, stats = cg.cg_solve(op, b, x0, config=cg.CGConfig(tolerance=1e-8, max_iters=500))
+    assert stats.converged
+    dense = formats.stencil5_to_csr(st).to_dense()
+    true_rel = np.linalg.norm(np.asarray(b).ravel() - dense @ np.asarray(x).ravel()) \
+        / np.linalg.norm(np.asarray(b))
+    assert true_rel < 1e-6, true_rel

@@ -55,11 +55,8 @@ def _field_spec(bg, ncols):
     return pl.BlockSpec((bg, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
-def _scalar_out_spec():
-    return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-
-
 def _smem_scalar_spec():
+    """(1,1) SMEM block — used for both runtime scalar inputs (α/β) and scalar outputs."""
     return pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
 
 
@@ -91,7 +88,7 @@ def dot_pallas(a, b, *, block_rows: int = 0, interpret: bool = False):
             functools.partial(_dot_kernel, bg=bg, nrows=nrows, ncols=ncols),
         grid=(pl.cdiv(nrows, bg),),
         in_specs=[_field_spec(bg, ncols)] * 2,
-        out_specs=_scalar_out_spec(),
+        out_specs=_smem_scalar_spec(),
         out_shape=jax.ShapeDtypeStruct((1, 1), acc),
         cost_estimate=pl.CostEstimate(
             flops=2 * nrows * ncols,
@@ -130,7 +127,7 @@ def axpby_dot_pallas(alpha, x, beta, y, *, block_rows: int = 0, interpret: bool 
             functools.partial(_axpby_dot_kernel, bg=bg, nrows=nrows, ncols=ncols),
         grid=(pl.cdiv(nrows, bg),),
         in_specs=[_smem_scalar_spec(), _smem_scalar_spec()] + [_field_spec(bg, ncols)] * 2,
-        out_specs=[_field_spec(bg, ncols), _scalar_out_spec()],
+        out_specs=[_field_spec(bg, ncols), _smem_scalar_spec()],
         out_shape=[
             jax.ShapeDtypeStruct((nrows, ncols), x.dtype),
             jax.ShapeDtypeStruct((1, 1), acc),
@@ -177,7 +174,7 @@ def cg_update_pallas(alpha, x, r, p, ap, *, block_rows: int = 0, interpret: bool
             functools.partial(_cg_update_kernel, bg=bg, nrows=nrows, ncols=ncols),
         grid=(pl.cdiv(nrows, bg),),
         in_specs=[_smem_scalar_spec()] + [_field_spec(bg, ncols)] * 4,
-        out_specs=[_field_spec(bg, ncols), _field_spec(bg, ncols), _scalar_out_spec()],
+        out_specs=[_field_spec(bg, ncols), _field_spec(bg, ncols), _smem_scalar_spec()],
         out_shape=[
             jax.ShapeDtypeStruct((nrows, ncols), x.dtype),
             jax.ShapeDtypeStruct((nrows, ncols), x.dtype),

@@ -143,11 +143,10 @@ def _build_specs(nrows: int, ncols: int, bg: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_rows", "with_dot", "interpret", "is_sharded_band")
+    jax.jit, static_argnames=("block_rows", "with_dot", "interpret")
 )
 def spmv_stencil5_pallas(planes, x, halo_prev=None, halo_next=None, *, block_rows: int = 0,
-                         with_dot: bool = False, interpret: bool = False,
-                         is_sharded_band: bool = False):
+                         with_dot: bool = False, interpret: bool = False):
     """y = A·x for a 5-point stencil operand.
 
     Args:
@@ -173,7 +172,6 @@ def spmv_stencil5_pallas(planes, x, halo_prev=None, halo_next=None, *, block_row
         bg = max(_ROWWIN, bg - bg % _ROWWIN)
     (nblocks, row_in_win, planes_spec, xm_spec, xtop_spec, xbot_spec, halo_spec,
      y_spec) = _build_specs(rows, g, bg)
-    del is_sharded_band  # behavior is uniform; halos default to zeros on a single chip
 
     kernel = functools.partial(
         _stencil5_kernel, with_dot=with_dot, nrows_total=rows, block_rows=bg,

@@ -203,6 +203,7 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
                 rr0 = blas1.dot_pallas(r0, r0, interpret=interpret)
             else:
                 rr0 = jnp.vdot(r0, r0)
+            bb = rr0
         else:
             ax0 = spmv(x0, operands)
             if use_pallas_blas1:
@@ -212,12 +213,16 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
             else:
                 r0 = b - ax0
                 rr0 = jnp.vdot(r0, r0)
-        b_norm = jnp.sqrt(rr0)
-        tol2 = (tolerance * tolerance) * rr0  # converged ⇔ rr < tol²·‖b‖²
+            # the criterion is relative to ‖b‖, NOT ‖r0‖ (they differ when x0 ≠ 0)
+            bb = jnp.vdot(b, b).astype(rr0.dtype)
+        b_norm = jnp.sqrt(bb)
+        tol2 = (tolerance * tolerance) * bb  # converged ⇔ rr < tol²·‖b‖²
 
         def cond(state):
             _, _, _, rr, k = state
-            return jnp.logical_and(k < max_iters, rr >= tol2)
+            # STRICT >: a zero RHS (rr0 = 0 = tol2) must not run a 0/0 step — x = x0 is
+            # already the solution with 0 iterations
+            return jnp.logical_and(k < max_iters, rr > tol2)
 
         state0 = (x0, r0, r0, rr0, jnp.zeros((), jnp.int32))
         x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
@@ -260,11 +265,12 @@ def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfi
         rr = float(blas1.dot_pallas(r, r, interpret=interpret))
     else:
         rr = float(jnp.vdot(r, r))
-    b_norm = rr ** 0.5
+    # criterion is relative to ‖b‖ (differs from ‖r0‖ when x0 ≠ 0)
+    b_norm = float(jnp.vdot(b, b)) ** 0.5
     stats = CGStats()
     t_solve = time.perf_counter()
     k = 0
-    converged = False
+    converged = rr == 0.0  # zero residual: x0 is already the solution (0 iterations)
     while k < config.max_iters and not converged:
         t0 = time.perf_counter()
         ap, pap = spmv_dot(p)

@@ -37,7 +37,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..kernels import blas1
 from ..kernels.stencil5 import (
     spmv_stencil5_const_pallas,
-    spmv_stencil5_pallas,
     spmv_stencil5_pipelined,
 )
 from .cg import CGConfig, CGStats, _resolve_blas1
@@ -146,9 +145,11 @@ class ShardedOperator:
         y_first = row_y(p_first, p_l[0:1], hp, p_l[1:2])
         y_last = row_y(p_last, p_l[-1:], p_l[-2:-1], hn)
         y = jnp.concatenate([y_first, y_core, y_last], axis=0)
+        # keep the f32 accumulator: downcasting to a bf16 field dtype would corrupt pAp
         pap_local = (
-            dot_core.astype(p_l.dtype)
-            + jnp.vdot(p_l[0:1], y_first) + jnp.vdot(p_l[-1:], y_last)
+            dot_core
+            + jnp.vdot(p_l[0:1], y_first).astype(dot_core.dtype)
+            + jnp.vdot(p_l[-1:], y_last).astype(dot_core.dtype)
         )
         return y, jax.lax.psum(pap_local, axis_name)
 
@@ -256,7 +257,8 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
 
         def cond(state):
             _, _, _, rr, k = state
-            return jnp.logical_and(k < max_iters, rr >= tol2)
+            # strict >: a zero RHS (rr0 = 0 = tol2) must not run a 0/0 step
+            return jnp.logical_and(k < max_iters, rr > tol2)
 
         def step(state):
             x, r, p, rr, k = state
@@ -405,7 +407,6 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
         check_vma=False,
     ))
 
-    gpad = grid_size + op.row_pad
     if b is None:
         b = jnp.ones((grid_size, grid_size), dtype)
     if op.row_pad:
@@ -448,5 +449,7 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
     stats.residual_norm = rr ** 0.5
     stats.relative_residual = rr ** 0.5 / b_norm if b_norm else 0.0
     if op.row_pad:
-        x = jax.device_get(x)[:grid_size]
+        from ..dist import gather_to_host
+
+        x = gather_to_host(x, rows=grid_size)  # multi-process-safe (see cg_solve_sharded)
     return x, stats
