@@ -93,10 +93,12 @@ def test_sample_matrix_cross_validation_f32():
     csr = formats.coo_to_csr(coo)
     dense = csr.to_dense()
     n = csr.num_rows
-    x = make_input(n, Pattern.ONES)
-    want = dense @ x
-    for mode in ("csr", "stencil5", "stencil5-bf16c"):
-        op = ops.get_operator(mode, csr, dtype=jnp.float32)
-        y = np.asarray(op.run_device(op.as_field(jnp.asarray(x, jnp.float32))))
-        res = compare_vectors(y.reshape(-1)[:n], want, tier="relaxed")
-        assert res.passed, f"{mode}: {res}"
+    for pattern in (Pattern.ONES, Pattern.RANDOM_UNIFORM):
+        x = make_input(n, pattern)
+        want = dense @ x
+        for mode in ("csr", "dia", "stencil5", "stencil5-bf16c"):
+            op = ops.get_operator(mode, csr, dtype=jnp.float32)
+            y = np.asarray(op.run_device(op.as_field(jnp.asarray(x, jnp.float32))))
+            # f32 compute vs the f64 oracle: single-precision accumulation tolerance
+            np.testing.assert_allclose(y.reshape(-1)[:n], want, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{mode}/{pattern}")
