@@ -17,8 +17,11 @@ tunnel (~0.4-1 ms) is excluded exactly as the reference excludes H2D/D2H from ke
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent import
 
 REF_20K_MS = 531.4  # reference cg 20000², 1×A100-SXM f64 (BASELINE.md / README.md:55)
 REF_ITERS = 14
