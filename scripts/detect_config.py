@@ -34,9 +34,10 @@ def main() -> int:
     hbm = info.get("hbm_bytes_limit") or 16e9
     print(f"HBM budget:  {hbm / 1e9:.1f} GB per chip")
     n = info["num_devices"]
-    # persistent words/pt: values CG = 5 planes + x,b,r,p,Ap = 10; const CG = 5
-    for name, wpp in (("stencil5 CG (values)", 10), ("stencil5-const CG", 5),
-                      ("SpMV only (values)", 7)):
+    # persistent f32-words/pt: values CG = 5 planes + x,r,p,Ap = 9 (b synthesized in-graph);
+    # bf16c CG = 5 planes at 2 B (2.5 f32-words) + 4 state = 6.5; const CG = 4; SpMV = 7
+    for name, wpp in (("stencil5 CG (values)", 9), ("stencil5-bf16c CG", 6.5),
+                      ("stencil5-const CG", 4), ("SpMV only (values)", 7)):
         g1 = max_grid(hbm, 4, wpp)
         gn = max_grid(hbm * n, 4, wpp)
         print(f"max grid f32 {name:22s}: {g1:>7,} single chip | {gn:>7,} on {n} chips")
