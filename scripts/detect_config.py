@@ -34,10 +34,11 @@ def main() -> int:
     hbm = info.get("hbm_bytes_limit") or 16e9
     print(f"HBM budget:  {hbm / 1e9:.1f} GB per chip")
     n = info["num_devices"]
-    # persistent f32-words/pt: values CG = 5 planes + x,r,p,Ap = 9 (b synthesized in-graph);
-    # bf16c CG = 5 planes at 2 B (2.5 f32-words) + 4 state = 6.5; const CG = 4; SpMV = 7
-    for name, wpp in (("stencil5 CG (values)", 9), ("stencil5-bf16c CG", 6.5),
-                      ("stencil5-const CG", 4), ("SpMV only (values)", 7)):
+    # f32-words/pt, CALIBRATED on a 16 GB v5e: persistent state (planes + x,r,p,Ap, b
+    # in-graph) plus ~1-2 words of loop transients.  Measured anchors: values OOMs at
+    # 20480² (→10), bf16c fits 20480² (→7.5), const fits 23040² and OOMs at 25600² (→6).
+    for name, wpp in (("stencil5 CG (values)", 10), ("stencil5-bf16c CG", 7.5),
+                      ("stencil5-const CG", 6), ("SpMV only (values)", 7)):
         g1 = max_grid(hbm, 4, wpp)
         gn = max_grid(hbm * n, 4, wpp)
         print(f"max grid f32 {name:22s}: {g1:>7,} single chip | {gn:>7,} on {n} chips")
