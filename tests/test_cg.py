@@ -207,3 +207,20 @@ def test_cg_nonzero_x0_convergence_relative_to_b():
     true_rel = np.linalg.norm(np.asarray(b).ravel() - dense @ np.asarray(x).ravel()) \
         / np.linalg.norm(np.asarray(b))
     assert true_rel < 1e-6, true_rel
+
+
+@_f64_kernels
+def test_cg_fused_pupdate_matches_separate():
+    """The fused (p' = r + β·p)+SpMV+dot pass must reproduce the separate-pass solve:
+    identical iteration count, near-identical solution (same per-element arithmetic)."""
+    import numpy as np
+
+    for g in (16, 33):
+        st = generate.make_stencil5(g)
+        op = ops.get_operator("stencil5", st, dtype=jnp.float64)
+        b = jnp.ones((g, g), jnp.float64)
+        x_f, s_f = cg.cg_solve(op, b, fused_pupdate=True)
+        x_s, s_s = cg.cg_solve(op, b, fused_pupdate=False)
+        assert s_f.iterations == s_s.iterations, (g, s_f.iterations, s_s.iterations)
+        np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_s), rtol=1e-12,
+                                   atol=1e-12)

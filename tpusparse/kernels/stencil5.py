@@ -460,3 +460,139 @@ def spmv_stencil5_pipelined(planes, x, halo_prev=None, halo_next=None, *,
         y, dot = result
         return y, dot[0, 0]
     return result
+
+
+# ---------------------------------------------------------------------------
+# Fused p-update + SpMV: computes p' = r + β·p IN the same pass that computes A·p' and
+# <p', A·p'>.  Saves re-reading p' from HBM (one full read+write of the field per CG
+# iteration vs the separate p_update kernel): per-iteration traffic drops from
+# planes + [r,p read, p' write] + [p' read, Ap write] to planes + [r,p read, p' write,
+# Ap write].  The first CG iteration (no β yet) is the degenerate β=0, p=0 case: p' = r.
+# ---------------------------------------------------------------------------
+
+
+def _stencil5_pupd_pipe_kernel(beta_ref, planes_ref, rm_ref, pm_ref, hprev_ref, hnext_ref,
+                               pnew_ref, y_ref, dot_ref, prev_r_ref, prev_p_ref,
+                               prev_last_ref, *, nrows_total: int, block_rows: int):
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    ni = nsteps - 1
+    bg = block_rows
+    beta = beta_ref[0, 0]
+
+    @pl.when(i >= 1)
+    def _compute():
+        j = i - 1
+        rm = prev_r_ref[:]
+        pm = prev_p_ref[:]
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + j * bg
+        pnew = rm + beta * pm
+        pnew = jnp.where(lrow < nrows_total, pnew, jnp.zeros_like(pnew))
+
+        # north neighbor: slab j-1's last p' row (carried); halo row at the band edge
+        top_row = jnp.where(j == 0, hprev_ref[:], prev_last_ref[:])
+        # south neighbor: slab j+1's first p' row, computed from the just-fetched slabs
+        bot_next = rm_ref[0:1, :] + beta * pm_ref[0:1, :]
+        bot_row = jnp.where(j == ni - 1, hnext_ref[:], bot_next)
+        xn = jnp.concatenate([top_row, pnew[:-1, :]], axis=0)
+        xs = jnp.concatenate([pnew[1:, :], bot_row], axis=0)
+        xs = jnp.where(lrow == nrows_total - 1, jnp.broadcast_to(bot_row, xs.shape), xs)
+        xw = jnp.concatenate([pnew[:, :1], pnew[:, :-1]], axis=1)
+        xe = jnp.concatenate([pnew[:, 1:], pnew[:, -1:]], axis=1)
+
+        y = (
+            planes_ref[C] * pnew
+            + planes_ref[W] * xw
+            + planes_ref[E] * xe
+            + planes_ref[N] * xn
+            + planes_ref[S] * xs
+        )
+        pnew_ref[:] = pnew
+        y_ref[:] = y
+
+        part = jnp.sum(jnp.where(lrow < nrows_total, pnew * y, jnp.zeros_like(y)))
+
+        @pl.when(j == 0)
+        def _():
+            dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+        dot_ref[0, 0] += part.astype(dot_ref.dtype)
+
+        # carry THIS slab's last p' row for slab j+1's north neighbor
+        prev_last_ref[:] = pnew[bg - 1 : bg, :]
+
+    @pl.when(i < ni)
+    def _carry():
+        prev_r_ref[:] = rm_ref[:]
+        prev_p_ref[:] = pm_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def spmv_stencil5_pupdate_pipelined(planes, beta, r, p, halo_prev=None, halo_next=None, *,
+                                    block_rows: int = 0, interpret: bool = False):
+    """(p', A·p', <p', A·p'>) where p' = r + β·p — the fused CG top-of-iteration pass.
+
+    β = 0 with p = 0 gives the first iteration (p' = r).  Halo rows are the NEIGHBOR's p'
+    boundary rows (or zeros at the grid edge); the single-chip caller passes None."""
+    interpret = _auto_interpret(interpret)
+    rows, g = r.shape
+    assert planes.shape == (5, rows, g)
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), r.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), r.dtype)
+    bg = block_rows or _pick_block_rows(g, itemsize=r.dtype.itemsize)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    ni = pl.cdiv(rows, bg)
+    if ni < 2:
+        # single slab: no pipeline to build; fall back to the separate passes
+        pnew = r + jnp.asarray(beta, r.dtype) * p
+        y, pap = spmv_stencil5_pallas(planes, pnew, halo_prev, halo_next, with_dot=True,
+                                      interpret=interpret)
+        return pnew, y, pap
+    nsteps = ni + 1
+    b2 = jnp.asarray(beta, r.dtype).reshape(1, 1)
+
+    planes_spec = pl.BlockSpec(
+        (5, bg, g), lambda i: (0, jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    field_in_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.minimum(i, ni - 1), 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _stencil5_pupd_pipe_kernel, nrows_total=rows, block_rows=bg
+    )
+    acc = jnp.float32 if r.dtype != jnp.float64 else jnp.float64
+    with x64_off_for_32bit(planes, r, p):
+        pnew, y, dot = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                planes_spec, field_in_spec, field_in_spec, halo_spec, halo_spec,
+            ],
+            out_specs=[out_spec, out_spec,
+                       pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, g), r.dtype),
+                jax.ShapeDtypeStruct((rows, g), r.dtype),
+                jax.ShapeDtypeStruct((1, 1), acc),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bg, g), r.dtype),  # prev_r
+                pltpu.VMEM((bg, g), r.dtype),  # prev_p
+                pltpu.VMEM((1, g), r.dtype),  # previous slab's last p' row
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=11 * rows * g,
+                bytes_accessed=(planes.dtype.itemsize * 5 + 4 * r.dtype.itemsize)
+                * rows * g,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(b2, planes, r, p, halo_prev, halo_next)
+    return pnew, y, dot[0, 0]

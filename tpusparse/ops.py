@@ -72,6 +72,8 @@ class DeviceOperator:
     operands: Any = ()
     run_device_op: Optional[Callable] = None
     run_device_dot_op: Optional[Callable] = None
+    # optional fused CG pass: (beta, r, p, operands) -> (p', A·p', <p', A·p'>)
+    run_fused_pupdate_op: Optional[Callable] = None
 
     @property
     def field_elems(self) -> int:
@@ -156,6 +158,7 @@ class DeviceOperator:
         self.run_device_dot = _freed
         self.run_device_op = _freed
         self.run_device_dot_op = _freed
+        self.run_fused_pupdate_op = None
 
 
 # ---------------------------------------------------------------------------
@@ -186,12 +189,19 @@ def _init_stencil5(st: Stencil5, dtype=None, coeff_dtype=None) -> DeviceOperator
     def run_device_dot_op(x, operands):
         return _st5.spmv_stencil5_pipelined(operands[0], x, with_dot=True, interpret=interp)
 
+    def run_fused_pupdate_op(beta, r, p, operands):
+        """(p', A·p', <p',A·p'>) with p' = r + β·p in ONE pass — the CG top-of-iteration
+        fusion (saves re-reading p' from HBM vs separate p-update + SpMV)."""
+        return _st5.spmv_stencil5_pupdate_pipelined(operands[0], beta, r, p,
+                                                    interpret=interp)
+
     return DeviceOperator(
         name="stencil5", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
         field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
         grid_size=g, _buffers={"planes": planes, "dtype": dtype},
         operands=(planes,), run_device_op=run_device_op,
         run_device_dot_op=run_device_dot_op,
+        run_fused_pupdate_op=run_fused_pupdate_op,
     )
 
 

@@ -108,7 +108,8 @@ def _resolve_blas1(use_pallas_blas1):
 
 def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = None,
              spmv: Optional[Callable] = None, use_pallas_blas1: Optional[bool] = None,
-             interpret: bool = False, b_is_ones: bool = False):
+             interpret: bool = False, b_is_ones: bool = False,
+             fused_pupdate: Optional[bool] = None):
     """Device-resident CG solve.  Returns (x, CGStats).
 
     Args:
@@ -122,6 +123,9 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
       b_is_ones: declare that b is the canonical all-ones RHS (and x0 is zeros).  b and x0
         are then SYNTHESIZED inside the compiled solve instead of passed as buffers — on a
         20480² grid that reclaims 3.4 GB of HBM, the difference between fitting and OOM.
+      fused_pupdate: use the operator's fused (p' = r + β·p) + SpMV + dot pass when it
+        provides one (run_fused_pupdate_op) — one fewer full-field HBM read per iteration.
+        None → auto-enable when available (mathematically identical update order).
     """
     config = config or CGConfig()
     use_pallas_blas1 = _resolve_blas1(use_pallas_blas1)
@@ -138,7 +142,12 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
             # silently treating this as x0 = 0 would converge to x0 + A⁻¹b
             raise ValueError("nonzero x0 requires the operator to provide run_device_op")
         spmv_op = op.run_device_op if nonzero_x0 else None
-        key_id = ("op", op.name, op.num_rows, id(op.run_device_dot_op), nonzero_x0)
+        # opt-in: measured on v5e the fused pass saves HBM words but has not shown a
+        # reliable wall-time win over XLA's separate passes (write-heavy mix; see
+        # docs/PERFORMANCE.md ceiling probes) — keep the proven default
+        fused = getattr(op, "run_fused_pupdate_op", None) if fused_pupdate else None
+        key_id = ("op", op.name, op.num_rows, id(op.run_device_dot_op), nonzero_x0,
+                  fused is not None)
     else:
         if nonzero_x0 and spmv is None:
             raise ValueError(
@@ -148,10 +157,14 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         spmv_dot = lambda p, _o: operator_or_spmv_dot(p)  # noqa: E731
         operands = ()
         spmv_op = (lambda x, _o: spmv(x)) if nonzero_x0 else None
+        fused = None
         key_id = ("fn", id(operator_or_spmv_dot), id(spmv), nonzero_x0)
+    if fused_pupdate is True and fused is None:
+        raise ValueError("fused_pupdate requested but the operator has no "
+                         "run_fused_pupdate_op")
     solve = _build_solver(spmv_dot, spmv_op, use_pallas_blas1, interpret,
                           config.max_iters, float(config.tolerance), b, key_id,
-                          synth_b=b_is_ones)
+                          synth_b=b_is_ones, fused=fused)
     t0 = time.perf_counter()
     if b_is_ones:
         x, scalars = solve(operands)
@@ -181,17 +194,39 @@ _SOLVER_CACHE = {}
 
 
 def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolerance,
-                  example_b, key_id, synth_b: bool = False):
+                  example_b, key_id, synth_b: bool = False, fused=None):
     """Build the jitted solve.  ``spmv_dot(p, operands)`` / ``spmv(x, operands)`` take the
     operator's device arrays explicitly so they enter the compiled program as runtime
     arguments, never inline constants.  Call ``solve(b, x0, operands)``, or
-    ``solve(operands)`` when ``synth_b`` (b = ones and x0 = 0 are created in-graph)."""
+    ``solve(operands)`` when ``synth_b`` (b = ones and x0 = 0 are created in-graph).
+
+    ``fused``: optional (beta, r, p, operands) -> (p', A·p', <p',A·p'>) pass; the loop then
+    carries (x, r, p_prev, rr, rr_prev, k) and computes β and the p-update INSIDE the SpMV
+    pass — same arithmetic per element, one fewer full-field HBM read per iteration."""
     key = (key_id, use_pallas_blas1, interpret, max_iters, tolerance,
            example_b.shape, str(example_b.dtype), synth_b)
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
 
     b_shape, b_dtype = example_b.shape, example_b.dtype
+
+    def _fused_step(operands):
+        from ..bench import profiling
+
+        def step(state):
+            x, r, p_prev, rr, rr_prev, k = state
+            beta = jnp.where(k == 0, jnp.zeros((), x.dtype),
+                             (rr / rr_prev).astype(x.dtype))
+            with profiling.scope(profiling.PHASE_SPMV):
+                p, ap, pap = fused(beta, r, p_prev, operands)
+            alpha = (rr / pap).astype(x.dtype)
+            with profiling.scope(profiling.PHASE_AXPY):
+                x = x + alpha * p
+                r = r - alpha * ap
+                rr_new = jnp.vdot(r, r)
+            return x, r, p, rr_new, rr, k + 1
+
+        return step
 
     def _solve(b, x0, operands):
         step = make_cg_step(lambda p: spmv_dot(p, operands),
@@ -217,6 +252,17 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
             bb = jnp.vdot(b, b).astype(rr0.dtype)
         b_norm = jnp.sqrt(bb)
         tol2 = (tolerance * tolerance) * bb  # converged ⇔ rr < tol²·‖b‖²
+
+        if fused is not None:
+            def fcond(state):
+                return jnp.logical_and(state[5] < max_iters, state[3] > tol2)
+
+            fstate0 = (x0, r0, jnp.zeros_like(r0), rr0, jnp.ones_like(rr0),
+                       jnp.zeros((), jnp.int32))
+            x, r, p, rr, _rrp, k = jax.lax.while_loop(
+                fcond, _fused_step(operands), fstate0)
+            sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
+            return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
         def cond(state):
             _, _, _, rr, k = state
