@@ -282,7 +282,8 @@ int coo_to_csr_sorted(int64_t num_rows, int64_t nnz, const int64_t* r, const int
         const int64_t len = hi - lo;
         if (len <= 1) continue;
         tmp.resize(static_cast<size_t>(len));
-        for (int64_t k = 0; k < len; ++k) tmp[static_cast<size_t>(k)] = {col_idx[lo + k], val[lo + k]};
+        for (int64_t k = 0; k < len; ++k)
+            tmp[static_cast<size_t>(k)] = {col_idx[lo + k], val[lo + k]};
         std::sort(tmp.begin(), tmp.end(),
                   [](const auto& a, const auto& b) { return a.first < b.first; });
         for (int64_t k = 0; k < len; ++k) {

@@ -2,7 +2,6 @@
 
 import json
 
-import numpy as np
 import pytest
 
 from tpusparse import generate, ops
@@ -126,3 +125,55 @@ def test_sysinfo_fields():
 
     expected = 8 if jax.default_backend() == "cpu" else jax.device_count()
     assert info["num_devices"] == expected  # 8-virtual CPU mesh; real count on hardware
+
+
+class TestKernelTimeProtocol:
+    """Pin the chained-launch kernel-timing protocol (ops.DeviceOperator.kernel_time_ms):
+    every headline bandwidth number is derived from it, so its semantics — chain-of-k time
+    ≈ k × single-apply, adaptive chain shortening never nonsensical — are regression-gated
+    here with a deterministic fake operator (sleep-based run_device)."""
+
+    @staticmethod
+    def _fake_op(apply_seconds):
+        import time
+
+        import jax.numpy as jnp
+
+        from tpusparse.ops import DeviceOperator
+
+        def run_device(x):
+            time.sleep(apply_seconds)
+            return x
+
+        return DeviceOperator(
+            name="fake", num_rows=64, num_cols=64, nnz=64, field_shape=(8, 8),
+            run_device=run_device, run_device_dot=lambda x: (x, jnp.vdot(x, x)),
+            _buffers={"dtype": jnp.float32},
+        )
+
+    def test_chain_of_k_matches_k_times_single(self):
+        per_apply_ms = 10.0
+        op = self._fake_op(per_apply_ms / 1e3)
+        measured = op.kernel_time_ms(chain=5, reps=2)
+        # chain-of-5 wall time / 5 must recover the per-apply cost (generous bounds for
+        # scheduler noise; the lower bound is hard — sleep cannot be measured short)
+        assert measured >= 0.9 * per_apply_ms, measured
+        assert measured <= 3.0 * per_apply_ms, measured
+
+    def test_adaptive_chain_shortening_stays_sane(self):
+        # A slow operator (120 ms/apply) forces the adaptive shortening path
+        # (chain scaled to keep a rep under ~1 s) — the result must still be the
+        # per-apply time, never a nonsensical total or zero.
+        per_apply_ms = 120.0
+        op = self._fake_op(per_apply_ms / 1e3)
+        measured = op.kernel_time_ms(chain=20, reps=3)
+        assert measured >= 0.9 * per_apply_ms, measured
+        assert measured <= 2.0 * per_apply_ms, measured
+
+    def test_real_operator_positive_and_finite(self):
+        import math
+
+        st = generate.make_stencil5(16)
+        op = ops.get_operator("stencil5-xla", st)
+        t = op.kernel_time_ms(chain=4, reps=2)
+        assert math.isfinite(t) and t > 0.0

@@ -11,8 +11,6 @@ import pytest
 from tpusparse import formats, generate, ops
 from tpusparse.solvers import cg
 
-from . import fixtures
-
 
 def reference_cg(A, b, tol=1e-6, max_iters=1000):
     """Numpy transcription of the reference device CG (cg_solver.cu:538-650)."""
@@ -177,6 +175,7 @@ def test_cg_bf16_coefficients_bitwise_match():
     assert bool(jnp.all(x32 == x16))
 
 
+@_f64_kernels
 def test_cg_zero_rhs_returns_x0_no_nan():
     """b = 0 ⇒ x = x0 immediately (0 iterations), never a 0/0 NaN step."""
     import numpy as np
@@ -191,6 +190,7 @@ def test_cg_zero_rhs_returns_x0_no_nan():
     assert float(jnp.abs(x).max()) == 0.0
 
 
+@_f64_kernels
 def test_cg_nonzero_x0_convergence_relative_to_b():
     """The criterion is ‖r‖ < tol·‖b‖, not tol·‖r0‖: a huge x0 makes ‖r0‖ ≫ ‖b‖, and a
     solver using ‖r0‖ would stop early with a garbage solution labeled converged."""
@@ -224,3 +224,43 @@ def test_cg_fused_pupdate_matches_separate():
         assert s_f.iterations == s_s.iterations, (g, s_f.iterations, s_s.iterations)
         np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_s), rtol=1e-12,
                                    atol=1e-12)
+
+
+def test_solver_cache_no_stale_hit_after_free():
+    """The solver cache must key on the operator's callables by IDENTITY with a strong
+    reference (never a bare id()): freeing an operator and building a new one at a
+    possibly-recycled address must produce a fresh cache entry, not a stale hit."""
+    import gc
+
+    g = 16
+    st = generate.make_stencil5(g)
+    b = jnp.ones((g, g), jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32)
+
+    op1 = ops.get_operator("stencil5-xla", st, dtype=b.dtype)
+    x1, s1 = cg.cg_solve(op1, b)
+    n_entries = len(cg._SOLVER_CACHE)
+    op1.free()
+    del op1
+    gc.collect()
+
+    op2 = ops.get_operator("stencil5-xla", st, dtype=b.dtype)
+    x2, s2 = cg.cg_solve(op2, b)
+    # a fresh operator's callables are new objects → a NEW cache entry must exist
+    # (an id()-keyed cache could silently alias the freed operator's entry here)
+    assert len(cg._SOLVER_CACHE) == n_entries + 1
+    assert s2.iterations == s1.iterations
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_operator_cache_mesh_content_keyed():
+    """Sharded operator/solver caches key on the Mesh OBJECT (content-hashed), not id(mesh):
+    two equal meshes hit the same entry; the entry never aliases a different mesh."""
+    import jax
+
+    from tpusparse.solvers import cg_sharded
+
+    mesh_a = jax.make_mesh((2,), ("x",))
+    mesh_b = jax.make_mesh((2,), ("x",))  # equal content, distinct object
+    op_a = cg_sharded.make_sharded_operator(mesh_a, 16, mode="stencil5")
+    op_b = cg_sharded.make_sharded_operator(mesh_b, 16, mode="stencil5")
+    assert op_a is op_b  # content-equal meshes share the cached operand

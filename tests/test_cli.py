@@ -3,9 +3,6 @@ then real runs — ci.yml:175-204, but here the kernels actually execute via int
 
 import json
 
-import numpy as np
-import pytest
-
 from tpusparse.cli import cg_solver, generate_matrix, spmv_bench
 
 

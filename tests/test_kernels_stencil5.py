@@ -163,7 +163,8 @@ def test_pipelined_band_with_halos():
     np.testing.assert_allclose(np.asarray(y), y_ref[4:8], rtol=1e-12, atol=1e-12)
 
 
-@pytest.mark.parametrize("pattern", list(__import__("tests.helpers", fromlist=["Pattern"]).Pattern))
+@pytest.mark.parametrize(
+    "pattern", list(__import__("tests.helpers", fromlist=["Pattern"]).Pattern))
 def test_input_patterns(pattern):
     """All canonical input patterns through the kernel (reference cuda_test_utils input
     pattern coverage, hpp:35-43)."""

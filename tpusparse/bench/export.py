@@ -11,7 +11,6 @@ the reference's jq/grep-based aggregation scripts port over.
 from __future__ import annotations
 
 import csv
-import dataclasses
 import datetime
 import json
 import os
@@ -74,8 +73,11 @@ def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
 
 def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
                    bench_stats: Optional[BenchmarkStats], sysinfo: Dict[str, Any],
-                   sum_x: float, norm2_x: float, gflops_spmv: float = 0.0,
+                   sum_x: float, norm2_x: float,
+                   gflops_spmv: Optional[float] = None,
                    extra_timing: Optional[Dict[str, float]] = None) -> Dict[str, Any]:
+    """``gflops_spmv=None`` OMITS performance.gflops_spmv: the field exists only when the
+    SpMV phase time was actually measured — never derived from an invented share."""
     timing = {
         "total_median_ms": bench_stats.median_ms if bench_stats else cg_stats.total_time_ms,
         "total_mean_ms": bench_stats.mean_ms if bench_stats else cg_stats.total_time_ms,
@@ -117,7 +119,7 @@ def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
             if bench_stats
             else {}
         ),
-        "performance": {"gflops_spmv": gflops_spmv},
+        "performance": ({"gflops_spmv": gflops_spmv} if gflops_spmv is not None else {}),
         "validation": {"solution_sum": sum_x, "solution_norm": norm2_x},
     }
 

@@ -14,7 +14,7 @@ Exact protocol parity with the reference (src/spmv/benchmark_stats.cu:39-89):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import numpy as np
 

@@ -29,7 +29,8 @@ def build_parser():
     p = argparse.ArgumentParser(prog="cg_solver_multichip", description=__doc__)
     p.add_argument("matrix", help="gen:<grid_size> (sharded operands are synthesized)")
     p.add_argument("--chips", type=int, default=0, help="devices to use (default: all)")
-    p.add_argument("--mode", default="stencil5", choices=["stencil5", "stencil5-bf16c", "stencil5-const"])
+    p.add_argument("--mode", default="stencil5",
+                   choices=["stencil5", "stencil5-bf16c", "stencil5-const"])
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--maxiter", type=int, default=1000)
     p.add_argument("--json", default=None)
@@ -121,14 +122,19 @@ def main(argv=None) -> int:
     # multi-process arrays are not fully addressable: the gather helper handles both cases
     # (the MPI_Gatherv analog, cg_solver_mgpu_partitioned.cu:834-851)
     x_host = np.asarray(gather_to_host(x), np.float64).ravel()[: g * g]
+    # gflops_spmv only when the SpMV phase was actually measured (--timers stepped loop);
+    # the fused device-native solve has no per-phase breakdown and the field is OMITTED
+    # rather than fabricated from an invented share (reference computes it from measured
+    # spmv time, cg_metrics.cu:~120).
+    gfl = (metrics.cg_gflops(op.nnz, cg_stats.iterations, cg_stats.spmv_time_ms)
+           if cg_stats.spmv_time_ms > 0 else None)
     result = export.cg_result_dict(
         # op.mode, not args.mode: a padded stencil5-const request falls back to values-
         # carrying stencil5 and the record must say what actually ran
         solver=f"tpusparse-cg-sharded-{nchips}chip", mode=op.mode,
         matrix_name=f"stencil5-{g}x{g}", op=op, cg_stats=cg_stats, bench_stats=bench,
         sysinfo=info, sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
-        gflops_spmv=metrics.cg_gflops(op.nnz, cg_stats.iterations, bench.median_ms * 0.45),
-        extra_timing={"num_chips": nchips},
+        gflops_spmv=gfl, extra_timing={"num_chips": nchips},
     )
     if is_primary:
         export.print_human_cg(result)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .formats import C, E, N, S, STENCIL_PLANE_NAMES, Stencil5, W
+from .formats import C, E, N, S, Stencil5, W
 
 DEFAULT_DIAG = 5.0
 DEFAULT_OFFDIAG = -1.0

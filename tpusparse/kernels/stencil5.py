@@ -180,7 +180,8 @@ def spmv_stencil5_pallas(planes, x, halo_prev=None, halo_next=None, *, block_row
     out_shape = [jax.ShapeDtypeStruct((rows, g), x.dtype)]
     out_specs = [y_spec]
     if with_dot:
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
         out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
 
     flops = 9 * rows * g  # 5 mul + 4 add per point
@@ -284,7 +285,8 @@ def spmv_stencil5_const_pallas(x, halo_prev=None, halo_next=None, *, diag: float
     out_shape = [jax.ShapeDtypeStruct((rows, g), x.dtype)]
     out_specs = [y_spec]
     if with_dot:
-        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
+        out_shape.append(jax.ShapeDtypeStruct(
+            (1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
         out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
     with x64_off_for_32bit(x):
         result = pl.pallas_call(

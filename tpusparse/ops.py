@@ -39,8 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import formats
-from .formats import CSRMatrix, DIAMatrix, ELLMatrix, Stencil5
-from .kernels import blas1 as _blas1
+from .formats import CSRMatrix, Stencil5
 from .kernels import stencil5 as _st5
 
 
@@ -274,11 +273,26 @@ def _wrap_ops(run_device_op, run_device_dot_op, operands):
 
 
 def _field_shape_for(n: int) -> tuple:
-    """Factor n into a 2-D field shape with a wide-ish lane dim (vectors are 2-D on TPU)."""
+    """Factor n into a 2-D field shape with a wide-ish lane dim (vectors are 2-D on TPU).
+
+    When n has no 128-multiple factor, the field is zero-PADDED to (ceil(n/128), 128)
+    rather than degraded to (n, 1) — a lane-width-1 field is maximally hostile to the
+    8×128 VPU and would silently hit real inputs (the reference's own 6561-row sample).
+    The as_field/ones_b machinery zero-fills the tail; operators built on this shape must
+    keep the tail zero in their outputs (see _pad_to_field)."""
     for cols in (1024, 512, 256, 128):
         if n % cols == 0:
             return (n // cols, cols)
-    return (n, 1)
+    return (-(-n // 128), 128)
+
+
+def _pad_to_field(y_flat, fshape):
+    """Reshape a length-n result vector into a possibly padded field, zero tail."""
+    elems = fshape[0] * fshape[1]
+    n = y_flat.shape[0]
+    if elems != n:
+        y_flat = jnp.zeros((elems,), y_flat.dtype).at[:n].set(y_flat)
+    return y_flat.reshape(fshape)
 
 
 def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperator:
@@ -295,9 +309,10 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
     def run_device_op(x, operands):
         cols, vals = operands
         y = jnp.sum(vals * x.reshape(-1)[cols], axis=1)
-        return y.reshape(fshape)
+        return _pad_to_field(y, fshape)
 
     def run_device_dot_op(x, operands):
+        # y's padded tail is zero, so the full-field vdot equals the length-n dot
         y = run_device_op(x, operands)
         return y, jnp.vdot(x.reshape(-1), y.reshape(-1))
 
@@ -367,7 +382,7 @@ def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
                 continue
             seg = data[d, lo:hi] * jax.lax.dynamic_slice_in_dim(xf, lo + off, hi - lo)
             y = y.at[lo:hi].add(seg)
-        return y.reshape(fshape)
+        return _pad_to_field(y, fshape)
 
     def run_device_dot_op(x, operands):
         y = run_device_op(x, operands)
@@ -402,7 +417,7 @@ def _init_bcoo(mat, dtype=None) -> DeviceOperator:
     fshape = _field_shape_for(csr.num_rows)
 
     def run_device_op(x, operands):
-        return (operands[0] @ x.reshape(-1)).reshape(fshape)
+        return _pad_to_field(operands[0] @ x.reshape(-1)[: csr.num_cols], fshape)
 
     def run_device_dot_op(x, operands):
         y = run_device_op(x, operands)

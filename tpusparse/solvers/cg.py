@@ -125,7 +125,8 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         20480² grid that reclaims 3.4 GB of HBM, the difference between fitting and OOM.
       fused_pupdate: use the operator's fused (p' = r + β·p) + SpMV + dot pass when it
         provides one (run_fused_pupdate_op) — one fewer full-field HBM read per iteration.
-        None → auto-enable when available (mathematically identical update order).
+        Strictly OPT-IN (None → off): measured slower on v5e despite the byte savings
+        (write-cost asymmetry, see docs/PERFORMANCE.md); mathematically identical either way.
     """
     config = config or CGConfig()
     use_pallas_blas1 = _resolve_blas1(use_pallas_blas1)
@@ -146,7 +147,10 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         # reliable wall-time win over XLA's separate passes (write-heavy mix; see
         # docs/PERFORMANCE.md ceiling probes) — keep the proven default
         fused = getattr(op, "run_fused_pupdate_op", None) if fused_pupdate else None
-        key_id = ("op", op.name, op.num_rows, id(op.run_device_dot_op), nonzero_x0,
+        # cache key holds the CALLABLE itself, not id(): function objects hash by identity
+        # and the key's strong reference pins them, so a freed operator's id can never be
+        # recycled into a false cache hit (the id()-keying correctness hazard)
+        key_id = ("op", op.name, op.num_rows, op.run_device_dot_op, nonzero_x0,
                   fused is not None)
     else:
         if nonzero_x0 and spmv is None:
@@ -158,7 +162,7 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         operands = ()
         spmv_op = (lambda x, _o: spmv(x)) if nonzero_x0 else None
         fused = None
-        key_id = ("fn", id(operator_or_spmv_dot), id(spmv), nonzero_x0)
+        key_id = ("fn", operator_or_spmv_dot, spmv, nonzero_x0)
     if fused_pupdate is True and fused is None:
         raise ValueError("fused_pupdate requested but the operator has no "
                          "run_fused_pupdate_op")

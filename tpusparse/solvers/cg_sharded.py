@@ -26,7 +26,6 @@ polls a convergence flag per iteration; here even that stays on device).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from typing import Optional
 
@@ -168,8 +167,11 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     cache_key = None
     if planes is None:
         # synthesized operands are deterministic: cache so repeated benchmark solves don't
-        # re-synthesize + re-shard the (5, g, g) planes inside their timed region
-        cache_key = (id(mesh), g, mode, diag, offdiag, str(dtype), overlap)
+        # re-synthesize + re-shard the (5, g, g) planes inside their timed region.
+        # Key on the Mesh OBJECT (hashable, content-compared), never id(mesh): ids of
+        # freed meshes can be recycled, silently returning operands laid out for a
+        # different mesh — and content-keying also hits for equal re-built meshes.
+        cache_key = (mesh, g, mode, diag, offdiag, str(dtype), overlap)
         if cache_key in _OPERATOR_CACHE:
             return _OPERATOR_CACHE[cache_key]
     naxis = mesh.devices.size
@@ -218,7 +220,8 @@ _SOLVER_CACHE = {}
 
 def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
                           use_pallas_blas1: bool, synth_b: bool = False):
-    key = (id(op.mesh), op.grid_size, op.mode, op.diag, op.offdiag, str(op.dtype),
+    # op.mesh (not id(op.mesh)): see the _OPERATOR_CACHE key comment
+    key = (op.mesh, op.grid_size, op.mode, op.diag, op.offdiag, str(op.dtype),
            op.overlap, max_iters, tolerance, use_pallas_blas1, synth_b)
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
@@ -314,7 +317,14 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
                      tolerance: float = 1e-6, max_iters: int = 1000, dtype=jnp.float32,
                      overlap: bool = True, config: Optional[CGConfig] = None,
                      use_pallas_blas1: Optional[bool] = None):
-    """Full sharded CG solve over the mesh.  Returns (x (g,g) row-band sharded, CGStats)."""
+    """Full sharded CG solve over the mesh.  Returns (x, CGStats).
+
+    ``x`` is the (g, g) solution as a row-band-sharded ``jax.Array`` — EXCEPT when the grid
+    does not divide the device count (``op.row_pad > 0``): slicing the padded tail off a
+    row-sharded array is ambiguous for the partitioner, so the tail is dropped host-side and
+    ``x`` is returned as a host ``numpy.ndarray`` (multi-process-safe).  Callers doing
+    device-side post-processing should ``jax.device_put`` it back or pick g % n_devices == 0.
+    """
     if config is not None:
         tolerance, max_iters = config.tolerance, config.max_iters
     op = make_sharded_operator(
