@@ -171,6 +171,30 @@ def test_sharded_stepped_matches_fused():
     assert s1.iterations == s2.iterations
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12)
     assert s2.spmv_time_ms > 0 and s2.blas1_time_ms > 0
+    # per-collective timers (CGStatsMultiGPU parity): the halo ppermute and the dot
+    # psum+readback are measured as their own phases, and reductions mirrors allreduce
+    assert s2.halo_time_ms > 0
+    assert s2.allreduce_time_ms > 0
+    assert s2.reduction_time_ms == s2.allreduce_time_ms
+
+
+def test_sharded_stepped_exports_per_collective_fields():
+    from tpusparse.bench import export, sysinfo
+
+    g = 16
+    x, st = cg_sharded.cg_solve_sharded_stepped(_mesh(4), g, mode="stencil5",
+                                                dtype=jnp.float64)
+    op = cg_sharded.make_sharded_operator(_mesh(4), g, mode="stencil5",
+                                          dtype=jnp.float64)
+    result = export.cg_result_dict(
+        solver="test-sharded", mode="stencil5", matrix_name="t", op=op, cg_stats=st,
+        bench_stats=None, sysinfo=sysinfo.get_system_info(), sum_x=0.0, norm2_x=0.0,
+    )
+    t = result["timing"]
+    assert t["halo_ms"] > 0 and t["allreduce_ms"] > 0
+    assert t["reductions_ms"] == t["allreduce_ms"]
+    # measured-only discipline: no gflops_spmv unless a measured breakdown was passed
+    assert "gflops_spmv" not in result["performance"]
 
 
 def test_sharded_bf16_coefficients_match_f32():

@@ -87,6 +87,10 @@ def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
         "spmv_ms": cg_stats.spmv_time_ms,
         "blas1_ms": cg_stats.blas1_time_ms,
         "reductions_ms": cg_stats.reduction_time_ms,
+        # per-collective timers (reference CGStatsMultiGPU time_allreduce/time_halo,
+        # cg_solver_mgpu.h:55-67); zero in single-chip runs
+        "halo_ms": getattr(cg_stats, "halo_time_ms", 0.0),
+        "allreduce_ms": getattr(cg_stats, "allreduce_time_ms", 0.0),
     }
     if extra_timing:
         timing.update(extra_timing)
@@ -212,6 +216,16 @@ def print_human_cg(result: Dict[str, Any]) -> None:
         tot = max(t["total_median_ms"], 1e-12)
         print(f"  SpMV:     {t['spmv_ms']:.2f} ms ({100 * t['spmv_ms'] / tot:.0f}%)")
         print(f"  BLAS1:    {t['blas1_ms']:.2f} ms ({100 * t['blas1_ms'] / tot:.0f}%)")
+        if t.get("reductions_ms") and not t.get("allreduce_ms"):
+            # single-chip reductions; in sharded runs the Allreduce line IS this bucket
+            print(f"  Reduce:   {t['reductions_ms']:.2f} ms "
+                  f"({100 * t['reductions_ms'] / tot:.0f}%)")
+        if t.get("halo_ms"):
+            print(f"  Halo:     {t['halo_ms']:.2f} ms ({100 * t['halo_ms'] / tot:.0f}%)  "
+                  f"[ppermute]")
+        if t.get("allreduce_ms"):
+            print(f"  Allreduce:{t['allreduce_ms']:.2f} ms "
+                  f"({100 * t['allreduce_ms'] / tot:.0f}%)  [psum + readback]")
     v = result["validation"]
     print("=== Solution Checksum ===")
     print(f"Sum(x)   = {v['solution_sum']:.16f}")

@@ -47,7 +47,11 @@ class CGConfig:
 
 @dataclasses.dataclass
 class CGStats:
-    """Parity with reference CGStats (include/solvers/cg_solver.h:28-43)."""
+    """Parity with reference CGStats (include/solvers/cg_solver.h:28-43).
+
+    ``halo_time_ms`` / ``allreduce_time_ms`` are the multi-chip per-collective timers
+    (reference CGStatsMultiGPU time_allreduce/time_allgather, cg_solver_mgpu.h:55-67),
+    populated by the sharded stepped solver; zero in single-chip runs (no collectives)."""
 
     iterations: int = 0
     converged: bool = False
@@ -57,6 +61,8 @@ class CGStats:
     spmv_time_ms: float = 0.0
     blas1_time_ms: float = 0.0
     reduction_time_ms: float = 0.0
+    halo_time_ms: float = 0.0
+    allreduce_time_ms: float = 0.0
 
 
 def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,
@@ -322,10 +328,18 @@ def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfi
     k = 0
     converged = rr == 0.0  # zero residual: x0 is already the solution (0 iterations)
     while k < config.max_iters and not converged:
+        # Reductions are a first-class phase (reference cg_solver.h:28-43 reduction bucket):
+        # the scalar readbacks (float(pap), float(rr)) are timed separately from the array
+        # compute.  On deployments where block_until_ready doesn't truly block (documented
+        # relay behavior) the compute buckets undercount and reductions absorb the tail —
+        # the split is exact on CPU and a labeled approximation there.
         t0 = time.perf_counter()
         ap, pap = spmv_dot(p)
-        pap = float(pap)
+        jax.block_until_ready(ap)
         stats.spmv_time_ms += (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        pap = float(pap)
+        stats.reduction_time_ms += (time.perf_counter() - t0) * 1e3
         alpha = rr / pap
         t0 = time.perf_counter()
         if use_pallas_blas1:
@@ -334,8 +348,11 @@ def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfi
             x = x + alpha * p
             r = r - alpha * ap
             rr_new = jnp.vdot(r, r)
-        rr_new = float(rr_new)
+        jax.block_until_ready(r)
         stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        rr_new = float(rr_new)
+        stats.reduction_time_ms += (time.perf_counter() - t0) * 1e3
         k += 1
         if config.verbose >= 2:
             print(f"[CG] Iter {k:3d}: residual = {rr_new ** 0.5:e} "

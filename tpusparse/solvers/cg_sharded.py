@@ -85,6 +85,15 @@ class ShardedOperator:
 
     overlap: bool = True
 
+    def local_spmv(self, planes_l, p_l, hp, hn):
+        """Local band SpMV with the halo rows PROVIDED — pure per-shard compute, zero
+        collectives.  The stepped per-collective timers use this to measure the compute
+        phase separately from the halo ppermute and the dot allreduces."""
+        if self.mode == "stencil5-const":
+            return spmv_stencil5_const_pallas(p_l, hp, hn, diag=self.diag,
+                                              offdiag=self.offdiag)
+        return spmv_stencil5_pipelined(planes_l, p_l, hp, hn)
+
     def local_spmv_dot(self, planes_l, p_l, axis_name: str, axis_size: int):
         """Local band SpMV + global <p, Ap>.  Runs inside shard_map."""
         if self.overlap and axis_size > 1 and p_l.shape[0] >= 3:
@@ -373,16 +382,25 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
                              offdiag: float = -1.0, tolerance: float = 1e-6,
                              max_iters: int = 1000, dtype=jnp.float32,
                              overlap: bool = True, verbose: int = 0):
-    """Host-stepped sharded CG with per-phase wall timing — the multi-chip ``--timers`` mode.
+    """Host-stepped sharded CG with PER-COLLECTIVE wall timing — the multi-chip ``--timers``
+    mode, field parity with the reference's CGStatsMultiGPU (cg_solver_mgpu.h:55-67):
 
-    Parity with the reference's per-phase mgpu timers (CGStatsMultiGPU fields,
-    cg_solver_mgpu.h:59-67; gating cg_solver_mgpu_partitioned.cu:547-559): reports
-    spmv (incl. halo exchange), blas1, and reduction phase times.  The reference also reduces
-    MAX/MIN timers across MPI ranks for a load-imbalance % (:749-800) — under single-process
-    SPMD every shard executes the same fused program in lockstep, so cross-shard imbalance is
+      halo_time_ms      — the boundary-row ``ppermute`` pair alone (the reference's
+                          MPI_Isend/Irecv staging window)
+      spmv_time_ms      — local band SpMV with halos PROVIDED: pure compute, no collectives
+      allreduce_time_ms — the dot products' local partial + ``psum`` + scalar readback
+                          (the reference's cublasDdot + MPI_Allreduce pair); also mirrored
+                          into reduction_time_ms for single-chip CGStats field parity
+      blas1_time_ms     — x/r update and p update (axpy family)
+
+    The iteration is deliberately de-fused into one jitted program per phase so each bucket
+    is a real measurement; one host sync per phase per iteration makes this a diagnostic
+    mode — the fused ``cg_solve_sharded`` remains the perf path (same tradeoff the reference
+    documents, cg_solver_mgpu_partitioned.cu:547-559).  The reference also reduces MAX/MIN
+    timers across MPI ranks for a load-imbalance % (:749-800) — under single-process SPMD
+    every shard executes the same fused program in lockstep, so cross-shard imbalance is
     structurally zero with equal bands; the padded-remainder case is the only source and is
-    bounded by pad/band.  Phase-split stepping adds one host sync per phase per iteration —
-    a diagnostic mode, not the perf path (same tradeoff the reference documents)."""
+    bounded by pad/band (reported by the CLI)."""
     op = make_sharded_operator(
         mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag,
         dtype=dtype, overlap=overlap,
@@ -393,28 +411,32 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
     pspec = P(None, axis, None) if has_planes else P()
     planes_arg = op.planes if has_planes else jnp.zeros((), dtype)
 
-    spmv_dot = jax.jit(jax.shard_map(
-        lambda pl_, v: op.local_spmv_dot(pl_, v, axis, naxis),
-        mesh=mesh, in_specs=(pspec, P(axis, None)), out_specs=(P(axis, None), P()),
+    band_spec = P(axis, None)
+    halo = jax.jit(jax.shard_map(
+        lambda v: _band_halo_exchange(v, axis, naxis),
+        mesh=mesh, in_specs=(band_spec,), out_specs=(band_spec, band_spec),
         check_vma=False,
     ))
-    upd = jax.jit(jax.shard_map(
-        lambda alpha, xl, rl, pl_, apl: (
-            lambda t: (t[0], t[1], jax.lax.psum(t[2], axis))
-        )(blas1.cg_update_pallas(alpha, xl, rl, pl_, apl)),
+    spmv_local = jax.jit(jax.shard_map(
+        op.local_spmv,
+        mesh=mesh, in_specs=(pspec, band_spec, band_spec, band_spec),
+        out_specs=band_spec, check_vma=False,
+    ))
+    dot_allreduce = jax.jit(jax.shard_map(
+        lambda al, bl: jax.lax.psum(blas1.dot_pallas(al, bl), axis),
+        mesh=mesh, in_specs=(band_spec, band_spec), out_specs=P(),
+        check_vma=False,
+    ))
+    upd_local = jax.jit(jax.shard_map(
+        lambda alpha, xl, rl, pl_, apl: (xl + alpha * pl_, rl - alpha * apl),
         mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis, None), P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis, None), P()), check_vma=False,
+        in_specs=(P(), band_spec, band_spec, band_spec, band_spec),
+        out_specs=(band_spec, band_spec), check_vma=False,
     ))
     pupd = jax.jit(jax.shard_map(
         lambda beta, rl, pl_: blas1.p_update_pallas(beta, rl, pl_),
-        mesh=mesh, in_specs=(P(), P(axis, None), P(axis, None)),
-        out_specs=P(axis, None), check_vma=False,
-    ))
-    dot0 = jax.jit(jax.shard_map(
-        lambda al, bl: jax.lax.psum(blas1.dot_pallas(al, bl), axis),
-        mesh=mesh, in_specs=(P(axis, None), P(axis, None)), out_specs=P(),
-        check_vma=False,
+        mesh=mesh, in_specs=(P(), band_spec, band_spec),
+        out_specs=band_spec, check_vma=False,
     ))
 
     if b is None:
@@ -428,20 +450,32 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
     x = jnp.zeros_like(b)
     r = b
     p = r
-    rr = float(dot0(r, r))
+    t0 = time.perf_counter()
+    rr = float(dot_allreduce(r, r))
+    stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
     b_norm = rr ** 0.5
     k = 0
     converged = False
     while k < max_iters and not converged:
         t0 = time.perf_counter()
-        ap, pap = spmv_dot(planes_arg, p)
-        pap = float(pap)
+        hp, hn = halo(p)
+        jax.block_until_ready(hn)
+        stats.halo_time_ms += (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        ap = spmv_local(planes_arg, p, hp, hn)
+        jax.block_until_ready(ap)
         stats.spmv_time_ms += (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        pap = float(dot_allreduce(p, ap))
+        stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
         alpha = jnp.asarray(rr / pap, dtype)
         t0 = time.perf_counter()
-        x, r, rr_new = upd(alpha, x, r, p, ap)
-        rr_new = float(rr_new)
+        x, r = upd_local(alpha, x, r, p, ap)
+        jax.block_until_ready(r)
         stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        rr_new = float(dot_allreduce(r, r))
+        stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
         k += 1
         if verbose >= 2:
             print(f"[CG-SHARDED] Iter {k:3d}: rel = {rr_new ** 0.5 / b_norm:e}")
@@ -453,6 +487,8 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
             jax.block_until_ready(p)
             stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
         rr = rr_new
+    # this solver's reductions ARE its allreduces — mirror for single-chip field parity
+    stats.reduction_time_ms = stats.allreduce_time_ms
     stats.total_time_ms = (time.perf_counter() - t_solve) * 1e3
     stats.iterations = k
     stats.converged = converged
