@@ -128,10 +128,11 @@ def test_sysinfo_fields():
 
 
 class TestKernelTimeProtocol:
-    """Pin the chained-launch kernel-timing protocol (ops.DeviceOperator.kernel_time_ms):
-    every headline bandwidth number is derived from it, so its semantics — chain-of-k time
-    ≈ k × single-apply, adaptive chain shortening never nonsensical — are regression-gated
-    here with a deterministic fake operator (sleep-based run_device)."""
+    """Pin the paired-chain differencing protocol (ops.DeviceOperator.kernel_time_ms):
+    every headline bandwidth number is derived from it, so its semantics — the slope of two
+    chain lengths recovers the true per-apply time, fixed costs cancel, adaptive chain
+    shortening never nonsensical — are regression-gated here with a deterministic fake
+    operator (sleep-based run_device)."""
 
     @staticmethod
     def _fake_op(apply_seconds):
@@ -151,14 +152,49 @@ class TestKernelTimeProtocol:
             _buffers={"dtype": jnp.float32},
         )
 
-    def test_chain_of_k_matches_k_times_single(self):
+    def test_chain_slope_recovers_per_apply_time(self):
         per_apply_ms = 10.0
         op = self._fake_op(per_apply_ms / 1e3)
         measured = op.kernel_time_ms(chain=5, reps=2)
-        # chain-of-5 wall time / 5 must recover the per-apply cost (generous bounds for
-        # scheduler noise; the lower bound is hard — sleep cannot be measured short)
+        # the (k_hi − k_lo)-chain slope must recover the per-apply cost (generous upper
+        # bound for scheduler noise; the lower bound is hard — sleep cannot run short)
         assert measured >= 0.9 * per_apply_ms, measured
         assert measured <= 3.0 * per_apply_ms, measured
+
+    def test_fixed_overhead_cancels_in_slope(self):
+        """A constant per-CHAIN cost (the dispatch + readback round trip on tunneled
+        deployments, ~25 ms) must NOT be charged to the per-apply time — the differencing
+        protocol's defining property.  Naive chain-averaging fails this: an 8-chain of
+        5 ms applies with a 60 ms fixed cost averages 12.5 ms/apply."""
+        import time
+
+        import jax.numpy as jnp
+
+        from tpusparse.ops import DeviceOperator
+
+        per_apply_ms, fixed_ms = 5.0, 60.0
+        state = {"x0": None}
+
+        def run_device(v):
+            # kernel_time_ms feeds the SAME initial array into every chain head and our
+            # output (a fresh object) into subsequent links — so argument identity marks
+            # the chain head, where the emulated per-chain fixed cost fires once.
+            if state["x0"] is None:
+                state["x0"] = v
+            if v is state["x0"]:
+                time.sleep(fixed_ms / 1e3)
+            time.sleep(per_apply_ms / 1e3)
+            return v + 0  # fresh object each link
+
+        op = DeviceOperator(
+            name="fake", num_rows=64, num_cols=64, nnz=64, field_shape=(8, 8),
+            run_device=run_device, run_device_dot=lambda x: (x, jnp.vdot(x, x)),
+            _buffers={"dtype": jnp.float32},
+        )
+        measured = op.kernel_time_ms(chain=8, reps=1)
+        # both chains pay the fixed cost exactly once → it cancels in the slope
+        assert measured <= 2.0 * per_apply_ms, measured
+        assert measured >= 0.9 * per_apply_ms, measured
 
     def test_adaptive_chain_shortening_stays_sane(self):
         # A slow operator (120 ms/apply) forces the adaptive shortening path
@@ -177,3 +213,43 @@ class TestKernelTimeProtocol:
         op = ops.get_operator("stencil5-xla", st)
         t = op.kernel_time_ms(chain=4, reps=2)
         assert math.isfinite(t) and t > 0.0
+
+
+class TestCeilingProbe:
+    def test_probe_returns_positive_bandwidths(self):
+        from tpusparse.bench import probes
+
+        r = probes.measure_achievable_bw(n_elems=2 ** 16, k_lo=2, k_hi=6, reps=2)
+        for k in ("read_gbs", "copy_gbs", "triad_gbs", "achievable_gbs"):
+            assert r[k] > 0.0, (k, r)
+        assert r["achievable_gbs"] == max(r["read_gbs"], r["copy_gbs"], r["triad_gbs"])
+
+    def test_achievable_fraction_in_metrics_and_export(self):
+        st = generate.make_stencil5(16)
+        op = ops.get_operator("stencil5-xla", st)
+        m = metrics.calculate_spmv_metrics(
+            op, 1.0, dtype_itemsize=4, device_kind="cpu", mode="stencil5",
+            achievable_gbs=100.0,
+        )
+        assert m.roofline_fraction_achievable == pytest.approx(m.bandwidth_gbs / 100.0)
+        s = stats.compute_stats([1.0, 1.0, 1.0])
+        d = export.spmv_result_dict(
+            mode="stencil5", matrix_name="t", op=op, metrics=m, stats=s,
+            sysinfo={"device_kind": "cpu"}, sum_y=0.0, norm2_y=0.0,
+        )
+        p = d["benchmark"]["performance"]
+        assert p["achievable_gbs"] == 100.0
+        assert p["roofline_fraction_achievable"] == m.roofline_fraction_achievable
+
+    def test_no_probe_no_field(self):
+        st = generate.make_stencil5(16)
+        op = ops.get_operator("stencil5-xla", st)
+        m = metrics.calculate_spmv_metrics(
+            op, 1.0, dtype_itemsize=4, device_kind="cpu", mode="stencil5",
+        )
+        s = stats.compute_stats([1.0, 1.0, 1.0])
+        d = export.spmv_result_dict(
+            mode="stencil5", matrix_name="t", op=op, metrics=m, stats=s,
+            sysinfo={"device_kind": "cpu"}, sum_y=0.0, norm2_y=0.0,
+        )
+        assert "roofline_fraction_achievable" not in d["benchmark"]["performance"]

@@ -53,6 +53,17 @@ def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
                 "gflops": metrics.gflops,
                 "bandwidth_gbs": metrics.bandwidth_gbs,
                 "roofline_fraction": metrics.roofline_fraction,
+                **(
+                    {
+                        # measured streaming ceiling (bench.probes) and the fraction of it —
+                        # present only when a probe actually ran this session
+                        "achievable_gbs": metrics.achievable_gbs,
+                        "roofline_fraction_achievable":
+                            metrics.roofline_fraction_achievable,
+                    }
+                    if metrics.roofline_fraction_achievable is not None
+                    else {}
+                ),
                 "dtype": metrics.dtype,
             },
             "statistics": {
@@ -187,7 +198,10 @@ def print_human_spmv(result: Dict[str, Any]) -> None:
               f"(device-only, chained; basis of GFLOPS/bandwidth)")
     print(f"Throughput:          {p['gflops']:.2f} GFLOPS")
     print(f"Bandwidth:           {p['bandwidth_gbs']:.1f} GB/s "
-          f"({100 * p['roofline_fraction']:.1f}% of HBM roofline)")
+          f"({100 * p['roofline_fraction']:.1f}% of nominal HBM roofline)")
+    if p.get("roofline_fraction_achievable") is not None:
+        print(f"                     {100 * p['roofline_fraction_achievable']:.1f}% of "
+              f"measured-achievable ceiling ({p['achievable_gbs']:.1f} GB/s, probe-backed)")
     a = b["analysis"]
     print(f"Arithmetic intensity: {a['arithmetic_intensity']:.3f} FLOP/byte "
           f"[{a['bound_classification']}]")

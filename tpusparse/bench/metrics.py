@@ -107,16 +107,22 @@ class SpmvMetrics:
     gflops: float
     bandwidth_gbs: float
     arithmetic_intensity: float
-    roofline_fraction: float  # achieved BW / chip HBM peak
+    roofline_fraction: float  # achieved BW / nominal chip HBM peak (spec sheet)
     bound: str  # "memory-bound" | "balanced" | "compute-bound"
     bytes_moved: int
     nnz: int
     rows: int
     dtype: str
+    # vs the MEASURED streaming ceiling (bench.probes) — the denominator the reference's
+    # "95% of peak" roofline claim actually uses (its peak is nsys-measured, not nominal).
+    # None when no probe was run.
+    achievable_gbs: Optional[float] = None
+    roofline_fraction_achievable: Optional[float] = None
 
 
 def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
-                           device_kind: str, mode: Optional[str] = None) -> SpmvMetrics:
+                           device_kind: str, mode: Optional[str] = None,
+                           achievable_gbs: Optional[float] = None) -> SpmvMetrics:
     mode = mode or op.name
     model = BYTE_MODELS.get(mode, BYTE_MODELS["csr"])
     nbytes = model(op, dtype_itemsize)
@@ -144,6 +150,8 @@ def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
         nnz=op.nnz,
         rows=op.num_rows,
         dtype={4: "float32", 8: "float64", 2: "bfloat16"}.get(dtype_itemsize, "?"),
+        achievable_gbs=achievable_gbs,
+        roofline_fraction_achievable=(bw / achievable_gbs if achievable_gbs else None),
     )
 
 

@@ -1,0 +1,123 @@
+"""Measured-achievable HBM bandwidth probes — the empirical roofline ceiling.
+
+The nominal HBM peak (metrics.CHIP_SPECS) is a spec-sheet number; judging kernels against it
+systematically under-reports them (the reference's "95% of peak" roofline claim is against its
+own nsys-measured ceiling, docs/PROFILING_ANALYSIS.md:88-97).  This module measures what THIS
+chip + runtime actually sustains, and exporters then report ``roofline_fraction_achievable``
+(vs the probe) alongside ``roofline_fraction`` (vs nominal).
+
+Protocol: PAIRED-ITERATION DIFFERENCING.  Each probe is a jitted ``lax.fori_loop`` doing k
+dependent passes over HBM-resident arrays; it is timed at k_lo and k_hi and the bandwidth is
+computed from the SLOPE (t_hi − t_lo)/(k_hi − k_lo).  The subtraction cancels every fixed
+cost — dispatch, the device→host readback round trip (~25 ms on tunneled deployments), loop
+setup — which single-shot timing silently charges to the kernel.  Measured on v5e: naive
+chained timing reported 494-531 GB/s for streams the slope shows run at 660-730 GB/s.
+
+Probes (byte model per pass over an n-element f32 array):
+  read   — carry-dependent reduction  s += Σ(x·s):  4n B   (pure read)
+  copy   — carried scale              x ← c·x:      8n B   (read + write)
+  triad  — carried axpy               a ← b + s·a: 12n B   (2 reads + write)
+
+The carry-dependence defeats CSE/hoisting (each pass must re-read its input), and
+``fori_loop`` stays a loop — XLA cannot algebraically collapse the passes.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x) -> float:
+    """Force completion by pulling one scalar (block_until_ready does not reliably block
+    through tunneled deployments — documented relay behavior)."""
+    return float(jnp.sum(x.ravel()[:1]))
+
+
+def _timed_best(fn, args, reps: int) -> float:
+    out = fn(*args)  # compile + warm
+    _sync(out if isinstance(out, jax.Array) else out[0])
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out if isinstance(out, jax.Array) else out[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _read_probe(iters: int):
+    @jax.jit
+    def run(x):
+        def body(_, s):
+            # s-dependence forces a fresh full read of x each pass (no CSE/hoist); the
+            # scalar-feeding multiply fuses into the reduction (no materialized temp)
+            return s + jnp.sum(x * s) * 1e-30
+        return jax.lax.fori_loop(0, iters, body, jnp.ones((), x.dtype))
+    return run
+
+
+def _copy_probe(iters: int):
+    @jax.jit
+    def run(x):
+        def body(_, v):
+            return v * 1.0000001
+        return jax.lax.fori_loop(0, iters, body, x)
+    return run
+
+
+def _triad_probe(iters: int):
+    @jax.jit
+    def run(a, b):
+        def body(_, v):
+            return b + 0.999 * v
+        return jax.lax.fori_loop(0, iters, body, a)
+    return run
+
+
+def measure_probe_slope(make_probe, args, bytes_per_pass: int,
+                        k_lo: int = 6, k_hi: int = 24, reps: int = 3) -> float:
+    """GB/s from the paired-iteration slope of one probe."""
+    t_lo = _timed_best(make_probe(k_lo), args, reps)
+    t_hi = _timed_best(make_probe(k_hi), args, reps)
+    slope = max((t_hi - t_lo) / (k_hi - k_lo), 1e-12)
+    return bytes_per_pass / slope / 1e9
+
+
+def measure_achievable_bw(n_elems: int = 0, k_lo: int = 6, k_hi: int = 24,
+                          reps: int = 3) -> Dict:
+    """Run the probe suite; returns GB/s per probe plus the achievable ceiling.
+
+    ``n_elems`` defaults to 2²⁸ f32 (1 GiB) on accelerators — per-pass time ≥ 1 ms, so the
+    slope is well-conditioned — and small on CPU (tests)."""
+    if n_elems == 0:
+        n_elems = 2 ** 28 if jax.default_backend() != "cpu" else 2 ** 20
+    x = jnp.ones((n_elems // 128, 128), jnp.float32)
+    b = jnp.full_like(x, 0.5)
+    nbytes = x.size * x.dtype.itemsize
+
+    read_gbs = measure_probe_slope(_read_probe, (x,), nbytes, k_lo, k_hi, reps)
+    copy_gbs = measure_probe_slope(_copy_probe, (x,), 2 * nbytes, k_lo, k_hi, reps)
+    triad_gbs = measure_probe_slope(_triad_probe, (x, b), 3 * nbytes, k_lo, k_hi, reps)
+    return {
+        "probe_elems": int(x.size),
+        "probe_protocol": f"paired-iteration slope (k={k_lo}/{k_hi}, best of {reps})",
+        "read_gbs": read_gbs,
+        "copy_gbs": copy_gbs,
+        "triad_gbs": triad_gbs,
+        "achievable_gbs": max(read_gbs, copy_gbs, triad_gbs),
+    }
+
+
+_CEILING_CACHE: Dict[str, float] = {}
+
+
+def achievable_ceiling_gbs(refresh: bool = False) -> float:
+    """Process-cached achievable ceiling (the probe suite costs a few seconds)."""
+    key = jax.default_backend()
+    if refresh or key not in _CEILING_CACHE:
+        _CEILING_CACHE[key] = measure_achievable_bw()["achievable_gbs"]
+    return _CEILING_CACHE[key]

@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("--runs", type=int, default=10)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
+    p.add_argument("--ceiling-probe", action="store_true",
+                   help="measure the achievable HBM ceiling (bench.probes) and report "
+                        "roofline_fraction_achievable alongside the nominal fraction")
     return p
 
 
@@ -88,6 +91,16 @@ def main(argv=None) -> int:
     print(f"[INFO] device: {info['device_kind']} x{info['num_devices']} "
           f"(backend={info['backend']})")
 
+    ceiling = None
+    if args.ceiling_probe:
+        from ..bench import probes
+
+        probe = probes.measure_achievable_bw()
+        ceiling = probe["achievable_gbs"]
+        print(f"[INFO] ceiling probe: read {probe['read_gbs']:.1f} / copy "
+              f"{probe['copy_gbs']:.1f} / triad {probe['triad_gbs']:.1f} GB/s "
+              f"→ achievable {ceiling:.1f} GB/s")
+
     rc = 0
     for mode in modes:
         try:
@@ -116,7 +129,7 @@ def main(argv=None) -> int:
                      else bench.median_ms)
         mets = metrics.calculate_spmv_metrics(
             op, kernel_ms, dtype_itemsize=itemsize,
-            device_kind=info["device_kind"], mode=mode,
+            device_kind=info["device_kind"], mode=mode, achievable_gbs=ceiling,
         )
         result = export.spmv_result_dict(
             mode=mode, matrix_name=name, op=op, metrics=mets, stats=bench,

@@ -111,13 +111,17 @@ class DeviceOperator:
         ms = (time.perf_counter() - t0) * 1e3
         return y_host, ms
 
-    def kernel_time_ms(self, chain: int = 20, reps: int = 3) -> float:
+    def kernel_time_ms(self, chain: int = 24, reps: int = 3) -> float:
         """Device-only kernel time — the analog of the reference's cudaEvent window around
         the kernel alone (spmv_cusparse_csr.cu:247-253): H2D/D2H and dispatch excluded.
 
-        Measured with chained launches (output feeds the next input, one final scalar sync):
-        on remote/tunneled deployments per-launch dispatch is ~0.4-1 ms and
-        ``block_until_ready`` may not block, so single-launch timing is meaningless."""
+        Protocol: PAIRED-CHAIN DIFFERENCING.  Two chained-launch runs (output feeds the next
+        input) of lengths k_lo < k_hi are timed and the per-apply time is the slope
+        (t_hi − t_lo)/(k_hi − k_lo).  The subtraction cancels every fixed cost — dispatch
+        and the final scalar-sync round trip (~25 ms on tunneled deployments, where
+        ``block_until_ready`` may not block at all).  Naive chain-average timing charges
+        fixed/chain to every apply: ~1 ms/apply of phantom time at chain=24, a 25% error on
+        a 4 ms kernel (measured on v5e — see docs/PERFORMANCE.md calibration)."""
         x = self.ones_b(self._run_dtype())
         v = self.run_device(x)
         float(jnp.sum(v))  # compile + warm + sync (untimed: compile must not skew the probe)
@@ -127,18 +131,25 @@ class DeviceOperator:
         probe_ms = (time.perf_counter() - t0) * 1e3
         # scale the chain to the operator's speed so slow generic paths (gather/bcoo at
         # hundreds of ms per apply) don't burn minutes: keep a rep under ~1 s.
-        chain = max(3, min(chain, int(1000 / max(probe_ms, 1.0))))
+        k_hi = max(4, min(chain, int(1000 / max(probe_ms, 1.0))))
+        k_lo = max(1, k_hi // 4)
         if probe_ms > 300:
             reps = min(reps, 2)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            v = x
-            for _ in range(chain):
-                v = self.run_device(v)
-            float(jnp.sum(v))
-            best = min(best, (time.perf_counter() - t0) / chain)
-        return best * 1e3
+
+        def chain_run(k):
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                v = x
+                for _ in range(k):
+                    v = self.run_device(v)
+                float(jnp.sum(v))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_lo = chain_run(k_lo)
+        t_hi = chain_run(k_hi)
+        return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9) * 1e3
 
     def _run_dtype(self):
         return self._buffers.get("dtype", _default_dtype()) if isinstance(
