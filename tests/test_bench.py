@@ -172,7 +172,7 @@ class TestKernelTimeProtocol:
 
         from tpusparse.ops import DeviceOperator
 
-        per_apply_ms, fixed_ms = 5.0, 60.0
+        per_apply_ms, fixed_ms = 20.0, 240.0
         state = {"x0": None}
 
         def run_device(v):
@@ -192,7 +192,9 @@ class TestKernelTimeProtocol:
             _buffers={"dtype": jnp.float32},
         )
         measured = op.kernel_time_ms(chain=8, reps=1)
-        # both chains pay the fixed cost exactly once → it cancels in the slope
+        # both chains pay the fixed cost exactly once → it cancels in the slope.
+        # Naive 8-chain averaging would report ≥ per_apply + fixed/8 = 2.5× — the 2×
+        # bound rejects that while leaving headroom for scheduler noise under load.
         assert measured <= 2.0 * per_apply_ms, measured
         assert measured >= 0.9 * per_apply_ms, measured
 

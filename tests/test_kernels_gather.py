@@ -1,0 +1,117 @@
+"""Pallas generic gather SpMV kernel (kernels/gather_ell.py): pack + kernel correctness
+against dense oracles, fallback behavior, and CG integration.
+
+The kernel's claim is GENERALITY (the cuSPARSE-CSR baseline role, reference
+spmv_cusparse_csr.cu:182-285): these tests feed it matrices the stencil kernels cannot
+represent — random values in random banded positions, variable row lengths, width-1
+diagonals — and require exact agreement with the dense product."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpusparse import formats, generate, ops
+from tpusparse.kernels import gather_ell
+
+
+def _random_banded_csr(n, bandwidth, max_row_nnz, seed):
+    """Random matrix with nonzeros scattered inside a band (generic but windowable)."""
+    rng = np.random.RandomState(seed)
+    rows, cols, vals = [], [], []
+    for r in range(n):
+        k = rng.randint(1, max_row_nnz + 1)
+        lo, hi = max(0, r - bandwidth), min(n, r + bandwidth + 1)
+        c = np.unique(rng.randint(lo, hi, size=k))
+        rows.extend([r] * len(c))
+        cols.extend(c.tolist())
+        vals.extend(rng.randn(len(c)).tolist())
+    coo = formats.COOMatrix(
+        num_rows=n, num_cols=n,
+        row=np.asarray(rows, np.int64), col=np.asarray(cols, np.int64),
+        val=np.asarray(vals, np.float64),
+    )
+    return formats.coo_to_csr(coo)
+
+
+@pytest.mark.parametrize("n,bw,w", [(500, 9, 4), (1500, 300, 7), (2100, 64, 3)])
+def test_gather_matches_dense_random_banded(n, bw, w):
+    csr = _random_banded_csr(n, bw, w, seed=n)
+    dense = csr.to_dense()
+    op = ops.get_operator("csr", csr, dtype=jnp.float64)
+    assert "loc" in (op._buffers or {}), "expected the Pallas gather pack, not a fallback"
+    x = np.random.RandomState(1).randn(n)
+    y = np.asarray(op.from_field(op.run_device(op.as_field(x).astype(jnp.float64))))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_gather_width_one_diagonal():
+    n = 700
+    d = np.linspace(1.0, 2.0, n)
+    coo = formats.COOMatrix(num_rows=n, num_cols=n,
+                            row=np.arange(n, dtype=np.int64),
+                            col=np.arange(n, dtype=np.int64), val=d)
+    op = ops.get_operator("csr", formats.coo_to_csr(coo), dtype=jnp.float64)
+    x = np.random.RandomState(2).randn(n)
+    y = np.asarray(op.from_field(op.run_device(op.as_field(x).astype(jnp.float64))))
+    np.testing.assert_allclose(y, d * x, rtol=1e-13)
+
+
+def test_gather_pack_rejects_scattered_columns_and_ops_falls_back(capsys):
+    """Columns scattered across the whole matrix defeat windowing: the pack must raise
+    GatherPackError, and ops.get_operator('csr') must fall back to the XLA gather path
+    LOUDLY while staying correct."""
+    n = 3000
+    rng = np.random.RandomState(7)
+    # each row hits 3 uniformly random columns — no window survives
+    rows = np.repeat(np.arange(n, dtype=np.int64), 3)
+    cols = rng.randint(0, n, size=3 * n).astype(np.int64)
+    vals = rng.randn(3 * n)
+    coo = formats.COOMatrix(num_rows=n, num_cols=n, row=rows, col=cols, val=vals)
+    csr = formats.coo_to_csr(coo)
+    ell = formats.csr_to_ell(csr)
+    with pytest.raises(gather_ell.GatherPackError):
+        gather_ell.pack_gather_ell(ell.col, ell.val, n, jnp.float64, span_limit=4)
+
+    op = ops.get_operator("csr", csr, dtype=jnp.float64)  # default limits may also trip
+    dense = csr.to_dense()
+    x = np.random.RandomState(8).randn(n)
+    y = np.asarray(op.from_field(op.run_device(op.as_field(x).astype(jnp.float64))))
+    np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_gather_stencil_cross_validates_all_grids():
+    for g in (8, 33, 81):
+        st = generate.make_stencil5(g)
+        dense = formats.stencil5_to_csr(st).to_dense()
+        op = ops.get_operator("csr", st, dtype=jnp.float64)
+        x = np.random.RandomState(g).randn(g * g)
+        y = np.asarray(op.from_field(op.run_device(op.as_field(x).astype(jnp.float64))))
+        np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_gather_cg_solve_iteration_parity():
+    """The gather operator inside CG matches the numpy reference algorithm exactly
+    (f64) — the operator-seam property the registry promises."""
+    from tests.test_cg import reference_cg
+    from tpusparse.solvers import cg
+
+    g = 16
+    st = generate.make_stencil5(g)
+    A = formats.stencil5_to_csr(st).to_dense()
+    b = np.ones(g * g)
+    x_ref, iters_ref, _ = reference_cg(A, b)
+    op = ops.get_operator("csr", st, dtype=jnp.float64)
+    x, stats = cg.cg_solve(op, op.as_field(b).astype(jnp.float64))
+    assert stats.iterations == iters_ref
+    np.testing.assert_allclose(np.asarray(op.from_field(x)), x_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_gather_rectangular_padding_rows_stay_zero():
+    """Rows past num_rows (block padding) must output exactly zero."""
+    n = 300  # far from the 32768-row block size
+    csr = _random_banded_csr(n, 5, 3, seed=3)
+    op = ops.get_operator("csr", csr, dtype=jnp.float64)
+    x = np.random.RandomState(4).randn(n)
+    yf = np.asarray(op.run_device(op.as_field(x).astype(jnp.float64))).ravel()
+    assert np.all(yf[n:] == 0.0)

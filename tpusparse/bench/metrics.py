@@ -69,10 +69,11 @@ def bytes_dia(rows: int, ndiag: int, itemsize: int) -> int:
 
 
 def _bytes_ell_op(op, itemsize):
-    """Actual ELL traffic: the padded (rows, width) val/col arrays, not nnz (bytes_ell)."""
+    """Actual ELL traffic: every padded slot's value + its int32 index + x read + y write
+    (covers both the (rows, width) XLA layout and the Pallas kernel's blocked layout)."""
     val = (op._buffers or {}).get("val")
     if val is not None:
-        return bytes_ell(val.shape[0], val.shape[1] if val.ndim > 1 else 1, itemsize)
+        return int(val.size) * (itemsize + 4) + 2 * op.num_rows * itemsize
     return bytes_csr(op.nnz, op.num_rows, itemsize)
 
 

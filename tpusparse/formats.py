@@ -239,6 +239,21 @@ def csr_to_ell(csr: CSRMatrix, width: Optional[int] = None) -> ELLMatrix:
         pos = np.arange(csr.nnz, dtype=np.int64) - np.repeat(csr.row_ptr[:-1], row_lens)
         col[rows, pos] = csr.col_idx
         val[rows, pos] = csr.val
+        # Pad slots repeat the row's LAST REAL column (val stays 0) instead of col=row:
+        # a short row's padded slot then shares its neighbors' diagonal, so windowing
+        # packers (kernels/gather_ell.py) don't get their per-subtile anchor dragged to
+        # the row index — measured at g=4096: col=row padding put 10% of entries ~g away
+        # from their window and forced the gather ladder from span 9 to span 40.
+        # (Empty rows keep col=row — any in-range index is valid with val=0.)
+        if w > 1:
+            nz = row_lens > 0
+            last = np.where(
+                nz,
+                col[np.arange(csr.num_rows), np.maximum(row_lens - 1, 0)],
+                np.arange(csr.num_rows, dtype=np.int64),
+            )
+            pad_mask = np.arange(w)[None, :] >= row_lens[:, None]
+            col = np.where(pad_mask, last[:, None], col)
     return ELLMatrix(
         num_rows=csr.num_rows,
         num_cols=csr.num_cols,

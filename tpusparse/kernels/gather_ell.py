@@ -1,0 +1,309 @@
+"""Pallas generic gather SpMV — the hand-written cuSPARSE-baseline-role kernel.
+
+Role parity: the reference's generic baseline is cuSPARSE CSR SpMV
+(src/spmv/spmv_cusparse_csr.cu:182-285) — arbitrary sparsity through explicit column
+indices.  On TPU an arbitrary ``x[col[k]]`` gather has no fast native form: Mosaic
+vectorizes gathers only along the 128-lane minor dimension (``take_along_axis`` axis=-1;
+verified on v5e — sublane-direction gathers do not compile).  This kernel builds a full
+generic gather out of that one primitive:
+
+  1. PACK TIME (host, numpy): rows → ELL slots (sorted CSR keeps per-slot columns
+     banded-ish for real matrices, arbitrary in general).  For every (row-block, slot,
+     subtile of 1024 rows) the pack measures the column WINDOW actually touched and
+     localizes indices to it.  This is the TPU analog of sliced-ELLPACK / cuSPARSE's
+     adaptive binning: locality is MEASURED per matrix, never assumed.
+  2. KERNEL: per row block, one async DMA per slot pulls that slot's x window
+     (HBM → VMEM).  Per 1024-row subtile the local index decomposes into
+     (sublane = loc >> 7, lane = loc & 127); the kernel broadcasts each of the subtile's
+     ``span`` window rows across sublanes, lane-gathers with ``take_along_axis``, and
+     select-accumulates where the sublane matches.  ``span`` is a pack-time constant
+     (max over subtiles): 2-10 for banded matrices, larger for wilder sparsity.
+
+Matrices whose measured spans exceed ``span_limit`` (columns scattered beyond any
+windowing) raise ``GatherPackError`` — callers fall back to the XLA gather path loudly.
+That failure mode is honest: SpMV with truly random column structure is gather-latency
+bound on every architecture; the windowed kernel covers the sparsity classes the
+reference's benchmark suite (and cuSPARSE's fast paths) actually exercise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._compat import x64_off_for_32bit
+
+LANES = 128
+SUBTILE_ROWS = 8 * LANES  # 1024 rows = one (8, 128) vector tile per subtile
+
+
+def _auto_interpret(interpret: bool) -> bool:
+    return interpret or jax.default_backend() == "cpu"
+
+
+class GatherPackError(ValueError):
+    """Raised when a matrix's measured column spans defeat windowing (see module doc)."""
+
+
+@dataclasses.dataclass
+class GatherEllOperand:
+    """Device-resident packed operand (all jnp arrays except static ints)."""
+
+    w0: jax.Array      # (nb*W,) int32 — per (block, slot) window start row (sublane units)
+    q: jax.Array       # (nb, W, nsub) int32 — per-subtile offset within the slot window
+    spans: jax.Array   # (nb, W, nsub) int32 — per-subtile sublane span (diagnostics)
+    loc: jax.Array     # (nb, W, nsub, 8, 128) int32 — window-local column indices
+    vals: jax.Array    # (nb, W, nsub, 8, 128) dtype — ELL values
+    # overflow: the rare entries beyond the percentile-chosen kernel span (e.g. the
+    # boundary subtiles of a stencil where a slot's diagonal jumps by ~g) — handled by
+    # one XLA scatter-add pass instead of taxing EVERY subtile with a worst-case ladder
+    orow: jax.Array    # (n_ovf,) int32
+    ocol: jax.Array    # (n_ovf,) int32
+    oval: jax.Array    # (n_ovf,) dtype
+    num_rows: int
+    num_cols: int
+    width: int         # W: ELL slots
+    nb: int            # row blocks
+    nsub: int          # subtiles per block
+    swin: int          # slot-window rows in VMEM (static, multiple of 8)
+    span: int          # kernel select-ladder passes (percentile span, static)
+    x_rows: int        # required x field rows (covers every window's reach)
+
+
+def pack_gather_ell(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: int, dtype,
+                    *, block_subtiles: int = 32, span_limit: int = 64,
+                    swin_limit: int = 4096, overflow_frac: float = 0.005,
+                    max_overflow_frac: float = 0.2) -> GatherEllOperand:
+    """Host-side pack: ELL (n, W) col/val → windowed operand (see module doc).
+
+    ``block_subtiles`` subtiles of 1024 rows per grid block (default 32 → 32768-row
+    blocks: large enough to amortize the per-block window DMAs, small enough that the
+    per-slot windows of banded matrices stay a few hundred sublanes).
+
+    The kernel's select-ladder span is chosen as the smallest count covering
+    ≥ 1 − ``overflow_frac`` of all entries (capped at ``span_limit``); the remainder —
+    e.g. the boundary subtiles of a stencil where a slot's diagonal jumps by ~grid-width —
+    is split out as an OVERFLOW COO list handled by one XLA scatter-add pass.  A static
+    global-max ladder instead would tax every subtile at the worst subtile's span
+    (measured: span 40 at g=4096 where 99.5% of subtiles need ≤ 10).  If even covering
+    1 − ``max_overflow_frac`` of entries needs more than ``span_limit`` passes, the
+    matrix defeats windowing and GatherPackError is raised (→ XLA gather fallback)."""
+    n, width = ell_col.shape
+    if width == 0:
+        raise GatherPackError("empty matrix (ELL width 0)")
+    rb = block_subtiles * SUBTILE_ROWS
+    nb = -(-n // rb)
+    nsub = block_subtiles
+    n_pad = nb * rb
+    if num_cols >= 2 ** 31 - 1:
+        raise GatherPackError("int32 column indices required (num_cols < 2^31)")
+
+    col = np.empty((n_pad, width), np.int32)
+    col[:n] = ell_col
+    val = np.zeros((n_pad, width), np.float32 if dtype != jnp.float64 else np.float64)
+    val[:n] = ell_val
+    if n_pad > n:
+        # padded rows: point at the last real row's columns with zero values — keeps the
+        # tail subtiles' windows degenerate instead of exploding the span
+        col[n:] = ell_col[n - 1]
+
+    # per (block, slot, subtile): measured window anchored at the subtile's min column
+    colb = col.reshape(nb, nsub, SUBTILE_ROWS, width)
+    q_abs = (colb.min(axis=2) // LANES).astype(np.int32)  # (nb, nsub, width)
+    locb = colb - (q_abs * LANES)[:, :, None, :]          # window-local, ≥ 0
+    sub_b = locb >> 7                                     # sublane of each entry
+
+    # percentile span: smallest ladder covering ≥ 1 − overflow_frac of REAL entries
+    # (block-padding rows are span-1 by construction and must not dilute the histogram —
+    # a small scattered matrix padded to one 32768-row block would look 90% windowable)
+    counts = np.bincount(sub_b.reshape(n_pad, width)[:n].ravel(), minlength=1)
+    cum = np.cumsum(counts) / max(n * width, 1)
+    span = int(np.searchsorted(cum, 1.0 - overflow_frac) + 1)
+    if span > span_limit:
+        cov_at_limit = cum[span_limit - 1] if span_limit <= len(cum) else 1.0
+        if 1.0 - cov_at_limit > max_overflow_frac:
+            raise GatherPackError(
+                f"windowing at span {span_limit} still leaves "
+                f"{100 * (1 - cov_at_limit):.1f}% of entries as overflow: column "
+                "structure defeats windowing — use the XLA gather path")
+        span = span_limit
+
+    ovf_mask = sub_b >= span
+    if ovf_mask.any():
+        bidx, tidx, ridx, _k = np.nonzero(ovf_mask)
+        orow = ((bidx * nsub + tidx) * SUBTILE_ROWS + ridx).astype(np.int32)
+        ocol = colb[ovf_mask].astype(np.int32)
+        oval = val.reshape(nb, nsub, SUBTILE_ROWS, width)[ovf_mask]
+        keep = (oval != 0) & (orow < n)
+        orow, ocol, oval = orow[keep], ocol[keep], oval[keep]
+        # neutralize in the ELL: zero value, in-window index
+        val.reshape(nb, nsub, SUBTILE_ROWS, width)[ovf_mask] = 0
+        locb[ovf_mask] = 0
+    else:
+        orow = np.zeros((0,), np.int32)
+        ocol = np.zeros((0,), np.int32)
+        oval = np.zeros((0,), val.dtype)
+
+    w0 = q_abs.min(axis=1)  # (nb, width): block window start per slot
+    q_rel_btk = q_abs - w0[:, None, :]
+    swin = int(q_rel_btk.max() + span)
+    swin += (-swin) % 8  # DMA row-count alignment (8-row hardware requirement)
+    if swin > swin_limit:
+        raise GatherPackError(
+            f"slot window of {swin} sublanes exceeds VMEM budget {swin_limit}")
+
+    # (nb, nsub, width) → kernel-facing (nb, width, nsub, ...)
+    q_rel = np.transpose(q_rel_btk, (0, 2, 1)).astype(np.int32)
+    spans = np.transpose(np.minimum(sub_b.max(axis=2) + 1, span), (0, 2, 1)) \
+        .astype(np.int32)
+    loc = np.transpose(locb, (0, 3, 1, 2)).reshape(nb, width, nsub, 8, LANES)
+    valt = np.transpose(val.reshape(nb, nsub, SUBTILE_ROWS, width), (0, 3, 1, 2))
+    valt = valt.reshape(nb, width, nsub, 8, LANES)
+    w0_flat = w0.reshape(-1)  # (nb*width,) row-major (b, k)
+
+    x_rows = int((w0 + swin).max()) if nb else 0
+    x_rows = max(x_rows, -(-num_cols // LANES), nb * rb // LANES)
+
+    return GatherEllOperand(
+        w0=jnp.asarray(w0_flat, jnp.int32),
+        q=jnp.asarray(q_rel, jnp.int32),
+        spans=jnp.asarray(spans),
+        loc=jnp.asarray(loc.astype(np.int32)),
+        vals=jnp.asarray(valt, dtype),
+        orow=jnp.asarray(orow), ocol=jnp.asarray(ocol), oval=jnp.asarray(oval, dtype),
+        num_rows=n, num_cols=num_cols, width=width, nb=nb, nsub=nsub,
+        swin=swin, span=span, x_rows=x_rows,
+    )
+
+
+def _gather_kernel(w0_ref, loc_ref, vals_ref, q_ref, span_ref, x_hbm, y_ref, xw, sems, *,
+                   width: int, nsub: int, swin: int, span: int):
+    b = pl.program_id(0)
+    # one window DMA per slot, all in flight before the first wait
+    for k in range(width):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(w0_ref[b * width + k], swin), :], xw.at[k], sems.at[k]
+        ).start()
+    for k in range(width):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(w0_ref[b * width + k], swin), :], xw.at[k], sems.at[k]
+        ).wait()
+
+    # keep the f64 accumulator on the CPU/interpret f64 path; f32 otherwise
+    acc_dtype = jnp.float64 if y_ref.dtype == jnp.float64 else jnp.float32
+
+    def subtile(t, _):
+        acc = jnp.zeros((8, LANES), acc_dtype)
+        for k in range(width):
+            loc = loc_ref[0, k, t]          # (8, 128) window-local indices
+            v = vals_ref[0, k, t]
+            q = q_ref[0, k, t]
+            sub = jax.lax.shift_right_logical(loc, jnp.asarray(7, loc.dtype))
+            lane = jax.lax.bitwise_and(loc, jnp.asarray(127, loc.dtype))
+            # STATIC select-gather ladder over the global max span.  Measured on v5e
+            # (g=2048): a dynamic per-subtile fori_loop bound (span_ref) ran 13× SLOWER —
+            # Mosaic's dynamic loops defeat unrolling/pipelining — so every subtile pays
+            # the static worst case and the VPU eats the unused passes.
+            g = jnp.zeros((8, LANES), xw.dtype)
+            for s in range(span):
+                row = xw[k, pl.ds(q + s, 1), :]                  # (1, 128) window row
+                rowb = jnp.broadcast_to(row, (8, LANES))
+                got = jnp.take_along_axis(rowb, lane, axis=1)
+                g = jnp.where(sub == s, got, g)
+            acc = acc + (v * g).astype(acc_dtype)
+        y_ref[pl.ds(t * 8, 8), :] = acc.astype(y_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nsub, subtile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _spmv_gather_jit(w0, loc, vals, q, spans, x128, *, meta, interpret):
+    width, nb, nsub, swin, span = meta
+    kernel = functools.partial(_gather_kernel, width=width, nsub=nsub, swin=swin,
+                               span=span)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, width, nsub, 8, LANES), lambda b, w0r: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, nsub, 8, LANES), lambda b, w0r: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, nsub), lambda b, w0r: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, width, nsub), lambda b, w0r: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual window DMA
+        ],
+        out_specs=pl.BlockSpec((nsub * 8, LANES), lambda b, w0r: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((width, swin, LANES), x128.dtype),
+            pltpu.SemaphoreType.DMA((width,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * nsub * 8, LANES), x128.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * nsub * 8 * LANES * width,
+            bytes_accessed=(loc.size + vals.size + 2 * nb * nsub * 8 * LANES)
+            * x128.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(w0, loc, vals, q, spans, x128)
+
+
+def static_meta(op: GatherEllOperand) -> tuple:
+    """The hashable static description a caller threads through jit boundaries."""
+    return (op.width, op.nb, op.nsub, op.swin, op.span, op.x_rows, op.num_rows)
+
+
+def spmv_gather_ell_arrays(w0, q, spans, loc, vals, orow, ocol, oval, x128, *,
+                           meta: tuple, interpret: bool = False):
+    """y = A·x from the packed ARRAYS (the jit-argument form the operator registry needs:
+    device operands enter compiled programs as runtime arguments, never closures).
+
+    ``meta`` is ``static_meta(op)``.  ``x128`` is the (x_rows, 128) lane layout with a
+    zero tail; returns y in the same layout, zero past the matrix rows."""
+    interpret = _auto_interpret(interpret)
+    width, nb, nsub, swin, span, x_rows, num_rows = meta
+    assert x128.shape == (x_rows, LANES), (x128.shape, x_rows)
+    with x64_off_for_32bit(vals, x128):
+        y = _spmv_gather_jit(w0, loc, vals, q, spans, x128,
+                             meta=(width, nb, nsub, swin, span), interpret=interpret)
+    y = y.astype(x128.dtype)
+    if orow.shape[0]:
+        # overflow pass: the <0.5% of entries beyond the kernel's window span, as one
+        # XLA gather + scatter-add over the flat vectors (see pack_gather_ell)
+        contrib = (oval.astype(x128.dtype) * x128.reshape(-1)[ocol])
+        y = y.reshape(-1).at[orow].add(contrib).reshape(y.shape)
+    out_rows = y.shape[0]
+    if out_rows < x_rows:
+        y = jnp.concatenate(
+            [y, jnp.zeros((x_rows - out_rows, LANES), y.dtype)], axis=0)
+    elif out_rows > x_rows:
+        y = y[:x_rows]
+    # rows past num_rows are padded ELL rows (zero values ⇒ zero output), but keep the
+    # zero-tail contract explicit against future pack changes
+    if num_rows < x_rows * LANES:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (x_rows, LANES), 0) * LANES \
+            + jax.lax.broadcasted_iota(jnp.int32, (x_rows, LANES), 1)
+        y = jnp.where(row_ids < num_rows, y, jnp.zeros_like(y))
+    return y
+
+
+def spmv_gather_ell(op: GatherEllOperand, x128, *, interpret: bool = False):
+    """Convenience wrapper over the packed-operand dataclass (tests, one-off use)."""
+    return spmv_gather_ell_arrays(op.w0, op.q, op.spans, op.loc, op.vals,
+                                  op.orow, op.ocol, op.oval, x128,
+                                  meta=static_meta(op), interpret=interpret)

@@ -5,8 +5,10 @@ run_device, free}`` (include/spmv.h:125-134) and registry ``get_operator(mode)``
 (src/spmv/spmv.cu:11-23).  Mode names:
 
   - ``"csr"``            — generic baseline (the cuSPARSE-CSR role, reference "cusparse-csr"):
-                           on TPU a gather-based ELL formulation executed by XLA; the honest
-                           generic path for arbitrary sparsity.
+                           hand Pallas windowed-ELL gather kernel (kernels/gather_ell.py);
+                           falls back to the XLA gather for sparsity that defeats windowing.
+  - ``"csr-xla"``        — the XLA-gather ELL formulation: the Pallas gather kernel's
+                           oracle/fallback (arbitrary sparsity, slower).
   - ``"dia"``            — gather-free diagonal-offset Pallas/XLA kernel for matrices with few
                            distinct diagonals (TPU-native generic structured path).
   - ``"stencil5"``       — the showcase structure-exploiting Pallas kernel
@@ -306,9 +308,59 @@ def _pad_to_field(y_flat, fshape):
     return y_flat.reshape(fshape)
 
 
+def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
+    """Generic gather SpMV via the hand Pallas windowed-ELL kernel (kernels/gather_ell.py)
+    — the cuSPARSE-CSR baseline role (reference src/spmv/spmv_cusparse_csr.cu:182-285) as
+    a real TPU kernel: pack-time measured column windows + in-VMEM lane gathers.
+
+    Matrices whose measured column spans defeat windowing (GatherPackError) fall back to
+    the XLA gather path LOUDLY — same correctness, slower; see the kernel's module doc."""
+    from .kernels import gather_ell as _gell
+
+    dtype = dtype or _default_dtype()
+    csr = _as_csr(mat)
+    ell = formats.csr_to_ell(csr)
+    try:
+        packed = _gell.pack_gather_ell(ell.col, ell.val, csr.num_cols, dtype)
+    except _gell.GatherPackError as e:
+        import sys as _sys
+
+        print(f"[tpusparse] gather kernel pack failed ({e}); falling back to XLA gather",
+              file=_sys.stderr)
+        return _init_ell_xla(mat, dtype=dtype)
+    meta = _gell.static_meta(packed)
+    fshape = (packed.x_rows, _gell.LANES)
+    interp = _is_cpu()
+
+    def run_device_op(x, operands):
+        w0, q, spans, loc, vals, orow, ocol, oval = operands
+        return _gell.spmv_gather_ell_arrays(w0, q, spans, loc, vals, orow, ocol, oval,
+                                            x.astype(dtype), meta=meta, interpret=interp)
+
+    def run_device_dot_op(x, operands):
+        # y's tail is zero past num_rows, so the full-field vdot equals the true dot
+        y = run_device_op(x, operands)
+        return y, jnp.vdot(x, y)
+
+    operands = (packed.w0, packed.q, packed.spans, packed.loc, packed.vals,
+                packed.orow, packed.ocol, packed.oval)
+    run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, operands)
+
+    return DeviceOperator(
+        name="csr", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
+        field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=csr.grid_size,
+        _buffers={"loc": packed.loc, "val": packed.vals, "dtype": dtype,
+                  "span": packed.span, "swin": packed.swin},
+        operands=operands, run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
+    )
+
+
 def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperator:
-    """Generic gather-based path (the cuSPARSE baseline role).  CSR/COO → padded ELL; the
-    gather x[col] runs as an XLA gather — correct for arbitrary matrices."""
+    """Generic gather-based path via XLA gather.  CSR/COO → padded ELL; the gather x[col]
+    runs as an XLA gather — correct for arbitrary matrices, and the fallback/oracle for
+    the hand Pallas gather kernel (_init_gather_ell)."""
     dtype = dtype or _default_dtype()
     csr = _as_csr(mat)
     ell = formats.csr_to_ell(csr, width)
@@ -462,7 +514,8 @@ def _as_stencil5(mat) -> Stencil5:
 
 
 _REGISTRY: Dict[str, Callable] = {
-    "csr": lambda m, **kw: _init_ell_xla(m, **kw),
+    "csr": lambda m, **kw: _init_gather_ell(m, **kw),
+    "csr-xla": lambda m, **kw: _init_ell_xla(m, **kw),
     "ell": lambda m, **kw: _init_ell_xla(m, **kw),
     "dia": lambda m, **kw: _init_dia(m, **kw),
     "dia-xla": lambda m, **kw: _init_dia_xla(m, **kw),
@@ -473,7 +526,7 @@ _REGISTRY: Dict[str, Callable] = {
     "stencil5-bf16c": lambda m, **kw: _init_stencil5(
         _as_stencil5(m), coeff_dtype=jnp.bfloat16, **kw),
     # reference-compatible aliases (src/spmv/spmv.cu:12-15)
-    "cusparse-csr": lambda m, **kw: _init_ell_xla(m, **kw),
+    "cusparse-csr": lambda m, **kw: _init_gather_ell(m, **kw),
     "stencil5-csr": lambda m, **kw: _init_stencil5(_as_stencil5(m), **kw),
 }
 
