@@ -179,3 +179,41 @@ def test_input_patterns(pattern):
     )
     res = compare_vectors(np.asarray(y).ravel(), y_ref, tier="standard")
     assert res.passed, res.first_failures
+
+
+def test_const_xla_matches_const_pallas_and_dense():
+    """stencil5-const-xla (the f64-at-scale path): exact vs the const Pallas kernel and
+    the dense matrix, f64."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusparse import formats, generate, ops
+
+    g = 33
+    st = generate.make_stencil5(g)
+    dense = formats.stencil5_to_csr(st).to_dense()
+    op_x = ops.get_operator("stencil5-const-xla", st, dtype=jnp.float64)
+    op_p = ops.get_operator("stencil5-const", st, dtype=jnp.float64)
+    x = np.random.RandomState(0).randn(g * g)
+    xf = op_x.as_field(x).astype(jnp.float64)
+    y_x = np.asarray(op_x.from_field(op_x.run_device(xf)))
+    y_p = np.asarray(op_p.from_field(op_p.run_device(xf)))
+    np.testing.assert_allclose(y_x, dense @ x, rtol=1e-13, atol=1e-13)
+    np.testing.assert_allclose(y_x, y_p, rtol=1e-13, atol=1e-13)
+
+
+def test_const_xla_cg_iteration_parity_f64():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tests.test_cg import reference_cg
+    from tpusparse import formats, generate, ops
+    from tpusparse.solvers import cg
+
+    g = 24
+    st = generate.make_stencil5(g)
+    A = formats.stencil5_to_csr(st).to_dense()
+    _, iters_ref, _ = reference_cg(A, np.ones(g * g))
+    op = ops.get_operator("stencil5-const-xla", st, dtype=jnp.float64)
+    x, stats = cg.cg_solve(op, jnp.ones((g, g), jnp.float64))
+    assert stats.iterations == iters_ref

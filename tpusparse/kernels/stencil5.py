@@ -326,6 +326,25 @@ def spmv_stencil5_xla(planes, x, halo_prev=None, halo_next=None):
     )
 
 
+def spmv_stencil5_const_xla(x, diag, offdiag, halo_prev=None, halo_next=None):
+    """Values-free constant-coefficient XLA stencil: the f64-AT-SCALE path on TPU.
+
+    The f64 planes of ``spmv_stencil5_xla`` cost 5·n·8 B (4.2 GB at 10240²) and XLA's
+    f64 emulation roughly doubles live temps — measured 19.6 GB at 10240², over this
+    chip's 15.75 GB HBM.  The constant-coefficient operator carries no plane array at
+    all, so the full-f64 solve fits.  Boundary handling is the zero pads themselves:
+    the shifted concats insert zero at every grid edge, which IS the Dirichlet matrix."""
+    rows, g = x.shape
+    top = halo_prev if halo_prev is not None else jnp.zeros((1, g), x.dtype)
+    bot = halo_next if halo_next is not None else jnp.zeros((1, g), x.dtype)
+    xn = jnp.concatenate([top, x[:-1, :]], axis=0)
+    xs = jnp.concatenate([x[1:, :], bot], axis=0)
+    zcol = jnp.zeros((rows, 1), x.dtype)
+    xw = jnp.concatenate([zcol, x[:, :-1]], axis=1)
+    xe = jnp.concatenate([x[:, 1:], zcol], axis=1)
+    return diag * x + offdiag * (xw + xe + xn + xs)
+
+
 # ---------------------------------------------------------------------------
 # Pipelined variant: delay-by-one software pipeline.
 #

@@ -268,6 +268,34 @@ def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
     )
 
 
+def _init_stencil5_const_xla(st: Stencil5, dtype=None) -> DeviceOperator:
+    """Values-free constant-coefficient XLA path — the f64-at-scale operator on TPU
+    (no plane array: the f64 planes alone are 4.2 GB at 10240² and the f64-emulated
+    planes solve OOMs at 19.6 GB; this one fits — see kernels/stencil5.py docstring)."""
+    if st.constant is None:
+        raise ValueError("stencil5-const-xla requires uniform coefficients")
+    dtype = dtype or _default_dtype()
+    g = st.grid_size
+    diag, offdiag = st.constant
+
+    def run_device_op(x, operands):
+        return _st5.spmv_stencil5_const_xla(x, diag, offdiag)
+
+    def run_device_dot_op(x, operands):
+        y = run_device_op(x, operands)
+        return y, jnp.vdot(x, y)
+
+    run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, ())
+
+    return DeviceOperator(
+        name="stencil5-const-xla", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
+        field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
+        grid_size=g, _buffers={"dtype": dtype},
+        operands=(), run_device_op=run_device_op,
+        run_device_dot_op=run_device_dot_op,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Generic paths
 # ---------------------------------------------------------------------------
@@ -523,6 +551,7 @@ _REGISTRY: Dict[str, Callable] = {
     "stencil5": lambda m, **kw: _init_stencil5(_as_stencil5(m), **kw),
     "stencil5-xla": lambda m, **kw: _init_stencil5_xla(_as_stencil5(m), **kw),
     "stencil5-const": lambda m, **kw: _init_stencil5_const(_as_stencil5(m), **kw),
+    "stencil5-const-xla": lambda m, **kw: _init_stencil5_const_xla(_as_stencil5(m), **kw),
     "stencil5-bf16c": lambda m, **kw: _init_stencil5(
         _as_stencil5(m), coeff_dtype=jnp.bfloat16, **kw),
     # reference-compatible aliases (src/spmv/spmv.cu:12-15)
