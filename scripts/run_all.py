@@ -63,6 +63,13 @@ def main() -> int:
     if rc:
         return rc
 
+    print("\n--- [2c] generic-baseline CG (csr — the hand Pallas gather kernel, "
+          "cuSPARSE role; practical at full benchmark sizes) ---")
+    rc = cg_solver.main([f"gen:{g}", "--mode=csr", f"--runs={runs}", "--warmup=1",
+                         "--verbose=0", f"--json={jdir}/cg_baseline_csr.json"])
+    if rc:
+        return rc
+
     print("\n--- [3/3] sharded CG scaling ---")
     chip_counts = [n for n in (1, 2, 4, 8) if n <= ndev and g % n == 0]
     for n in chip_counts:
@@ -105,6 +112,15 @@ def main() -> int:
     same_iters = ours["convergence"]["iterations"] == base_cg["convergence"]["iterations"]
     print(f"CG stencil5 vs bcoo baseline: {t_ours:.2f} vs {t_base:.2f} ms "
           f"({t_base / t_ours:.2f}x, iterations {'match' if same_iters else 'DIFFER'})")
+    csr_cg_path = f"{jdir}/cg_baseline_csr.json"
+    if os.path.exists(csr_cg_path):
+        with open(csr_cg_path) as f:
+            gen_cg = json.load(f)
+        t_gen = gen_cg["timing"]["total_median_ms"]
+        gi = gen_cg["convergence"]["iterations"] == ours["convergence"]["iterations"]
+        print(f"CG stencil5 vs csr (Pallas gather) baseline: {t_ours:.2f} vs "
+              f"{t_gen:.2f} ms ({t_gen / t_ours:.2f}x, "
+              f"iterations {'match' if gi else 'DIFFER'})")
     base = None
     print(f"\n{'chips':>5} {'median ms':>10} {'iters':>6} {'speedup':>8} {'efficiency':>10}")
     for n in chip_counts:
