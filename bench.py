@@ -3,17 +3,15 @@
 
 Primary metric (TPU): the repo's headline — full CG time-to-solution at 20480² (419M
 unknowns, 2.1B nnz, tol 1e-6, b = ones) — vs the reference's largest published configuration
-(20000² = 400M unknowns on one A100; ours is ~5% MORE work),
-values-carrying with bf16 coefficient storage (bit-identical for this operator's exact
-coefficients; docs/PERFORMANCE.md).  vs_baseline = reference_time / our_time against the
-published single-A100 f64 number (531.4 ms, BASELINE.md) — >1 means faster than the
-reference's headline GPU.  Iteration-count parity (14) is asserted, not assumed.
+(20000² = 400M unknowns on one A100; ours is ~5% MORE work), via the values-free
+constant-coefficient kernel (`stencil5-const`: the coefficient field IS constant for this
+operator — measured fastest and carries zero operand HBM, docs/PERFORMANCE.md).
+vs_baseline = reference_time / our_time against the published single-A100 f64 number
+(531.4 ms, BASELINE.md) — >1 means faster than the reference's headline GPU.
+Iteration-count parity (14) is asserted, not assumed.
 
-Fallback (any failure, or CPU backend): STENCIL5 SpMV HBM-roofline fraction on one chip,
-vs the reference's 95%-of-roofline (docs/PROFILING_ANALYSIS.md analog).
-
-Timing uses chained/packed-readback device paths; per-launch dispatch through the remote
-tunnel (~0.4-1 ms) is excluded exactly as the reference excludes H2D/D2H from kernel times.
+Fallback (any failure, or CPU backend): STENCIL5 SpMV HBM-roofline fraction on one chip
+(paired-chain slope protocol), vs the reference's 95%-of-roofline claim.
 """
 
 import json
@@ -38,12 +36,12 @@ def bench_cg_20k() -> dict:
     if jax.default_backend() == "cpu":
         raise RuntimeError("cg20k child must run on the accelerator, got cpu backend")
     g = 20480
-    # synthesize the planes DIRECTLY in bf16 (4.2 GB): an f32 intermediate (8.4 GB) would
-    # transiently need 12.6 GB and fragment the 16 GB HBM under the solve's footprint
-    planes = generate.make_stencil5_planes_device(g, dtype=jnp.bfloat16)
-    st = Stencil5(grid_size=g, planes=planes, constant=(5.0, -1.0))
-    op = ops.get_operator("stencil5-bf16c", st)
-    del planes, st
+    # values-free operator: no plane array at all — the whole solve footprint is the four
+    # (g, g) f32 state fields (~6.7 GB); measured fastest of the 20k modes (480 vs 500 ms
+    # bf16c) and structurally OOM-proof
+    st = Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
+    op = ops.get_operator("stencil5-const", st)
+    del st
     # shape/dtype metadata only — b is synthesized in-graph (b_is_ones), so no 1.68 GB
     # device ones buffer should be held across the solves
     b = jax.ShapeDtypeStruct((g, g), jnp.float32)
@@ -63,7 +61,7 @@ def bench_cg_20k() -> dict:
         raise RuntimeError(f"iteration-count parity broken: {iters} != {REF_ITERS}")
     times.sort()
     med = times[len(times) // 2]
-    print(f"[bench] cg 20480^2 bf16c: median {med:.1f} ms over {len(times)} runs, "
+    print(f"[bench] cg 20480^2 const: median {med:.1f} ms over {len(times)} runs, "
           f"{iters} iterations (ref A100: {REF_20K_MS} ms)", file=sys.stderr)
     return {
         "metric": "cg_20480sq_419M_unknowns_time_ms",
@@ -101,22 +99,27 @@ def bench_spmv_roofline() -> dict:
     if rel > 1e-3:
         raise RuntimeError(f"checksum mismatch: {s_got} vs {s_ref}")
 
-    n = 50 if on_tpu else 5
-    v = run(x)
-    _ = float(jnp.sum(v))
-    best = float("inf")
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        v = x
-        for _ in range(n):
-            v = run(v)
-        _ = float(jnp.sum(v))
-        best = min(best, (time.perf_counter() - t0) / n)
+    # paired-chain slope: fixed dispatch/readback costs cancel (docs/PERFORMANCE.md protocol)
+    k_lo, k_hi = (6, 24) if on_tpu else (2, 6)
 
-    gbs = 7 * g * g * 4 / best / 1e9
+    def chain(k):
+        best = float("inf")
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            v = x
+            for _ in range(k):
+                v = run(v)
+            _ = float(jnp.sum(v))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    run(x)
+    _ = float(jnp.sum(run(x)))  # warm + sync
+    per_apply = (chain(k_hi) - chain(k_lo)) / (k_hi - k_lo)
+    gbs = 7 * g * g * 4 / max(per_apply, 1e-9) / 1e9
     peak, _ = chip_peaks(info["device_kind"])
     frac = gbs / peak
-    print(f"[bench] stencil5 spmv: {best * 1e3:.3f} ms, {gbs:.1f} GB/s, "
+    print(f"[bench] stencil5 spmv: {per_apply * 1e3:.3f} ms/apply (slope), {gbs:.1f} GB/s, "
           f"{100 * frac:.1f}% of {peak:.0f} GB/s roofline", file=sys.stderr)
     return {
         "metric": "stencil5_spmv_hbm_roofline_fraction",

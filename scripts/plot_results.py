@@ -51,6 +51,10 @@ def main() -> int:
         modes = sorted({m for _, m in spmv})
         sizes = sorted({n for n, _ in spmv})
         width = 0.8 / max(len(modes), 1)
+        # validated categorical palette, fixed slot order (dataviz references/palette.md);
+        # bar charts validate on the adjacent pairlist so >3 series is fine here
+        PALETTE = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4",
+                   "#008300", "#4a3aa7", "#e34948"]
         for k, mode in enumerate(modes):
             xs, ts, bws = [], [], []
             for i, n in enumerate(sizes):
@@ -63,8 +67,9 @@ def main() -> int:
                     ts.append(tk if tk is not None and tk > 0
                               else perf["time_median_ms"])
                     bws.append(perf["bandwidth_gbs"])
-            ax1.bar(xs, ts, width=width, label=mode)
-            ax2.bar(xs, bws, width=width, label=mode)
+            c = PALETTE[k % len(PALETTE)]
+            ax1.bar(xs, ts, width=width, label=mode, color=c)
+            ax2.bar(xs, bws, width=width, label=mode, color=c)
         ax1.set_yscale("log")
         for ax, ylabel in ((ax1, "kernel time (ms, log)"), (ax2, "bandwidth (GB/s)")):
             ax.set_xticks(range(len(sizes)))
