@@ -259,6 +259,8 @@ def test_sharded_operator_cache_mesh_content_keyed():
 
     from tpusparse.solvers import cg_sharded
 
+    if jax.device_count() < 2:
+        pytest.skip(f"needs 2 devices, have {jax.device_count()}")
     mesh_a = jax.make_mesh((2,), ("x",))
     mesh_b = jax.make_mesh((2,), ("x",))  # equal content, distinct object
     op_a = cg_sharded.make_sharded_operator(mesh_a, 16, mode="stencil5")

@@ -14,6 +14,13 @@ import jax.numpy as jnp
 from tpusparse import formats, generate, ops
 from tpusparse.kernels import gather_ell
 
+# f64 operands run the kernel in interpret mode — CPU-backend only (Mosaic has no f64).
+# The f32 tests below are the on-TPU coverage (TPUSPARSE_TEST_TPU=1).
+_f64_kernels = pytest.mark.skipif(
+    __import__("jax").default_backend() != "cpu",
+    reason="f64 Pallas kernels are CPU/interpret-only (Mosaic has no f64)",
+)
+
 
 def _random_banded_csr(n, bandwidth, max_row_nnz, seed):
     """Random matrix with nonzeros scattered inside a band (generic but windowable)."""
@@ -35,6 +42,7 @@ def _random_banded_csr(n, bandwidth, max_row_nnz, seed):
 
 
 @pytest.mark.parametrize("n,bw,w", [(500, 9, 4), (1500, 300, 7), (2100, 64, 3)])
+@_f64_kernels
 def test_gather_matches_dense_random_banded(n, bw, w):
     csr = _random_banded_csr(n, bw, w, seed=n)
     dense = csr.to_dense()
@@ -45,6 +53,7 @@ def test_gather_matches_dense_random_banded(n, bw, w):
     np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
 
 
+@_f64_kernels
 def test_gather_width_one_diagonal():
     n = 700
     d = np.linspace(1.0, 2.0, n)
@@ -57,6 +66,7 @@ def test_gather_width_one_diagonal():
     np.testing.assert_allclose(y, d * x, rtol=1e-13)
 
 
+@_f64_kernels
 def test_gather_pack_rejects_scattered_columns_and_ops_falls_back(capsys):
     """Columns scattered across the whole matrix defeat windowing: the pack must raise
     GatherPackError, and ops.get_operator('csr') must fall back to the XLA gather path
@@ -80,6 +90,7 @@ def test_gather_pack_rejects_scattered_columns_and_ops_falls_back(capsys):
     np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
 
 
+@_f64_kernels
 def test_gather_stencil_cross_validates_all_grids():
     for g in (8, 33, 81):
         st = generate.make_stencil5(g)
@@ -90,6 +101,7 @@ def test_gather_stencil_cross_validates_all_grids():
         np.testing.assert_allclose(y, dense @ x, rtol=1e-12, atol=1e-12)
 
 
+@_f64_kernels
 def test_gather_cg_solve_iteration_parity():
     """The gather operator inside CG matches the numpy reference algorithm exactly
     (f64) — the operator-seam property the registry promises."""
@@ -107,6 +119,7 @@ def test_gather_cg_solve_iteration_parity():
     np.testing.assert_allclose(np.asarray(op.from_field(x)), x_ref, rtol=1e-8, atol=1e-10)
 
 
+@_f64_kernels
 def test_gather_rectangular_padding_rows_stay_zero():
     """Rows past num_rows (block padding) must output exactly zero."""
     n = 300  # far from the 32768-row block size
@@ -115,3 +128,27 @@ def test_gather_rectangular_padding_rows_stay_zero():
     x = np.random.RandomState(4).randn(n)
     yf = np.asarray(op.run_device(op.as_field(x).astype(jnp.float64))).ravel()
     assert np.all(yf[n:] == 0.0)
+
+
+def test_gather_matches_dense_random_banded_f32():
+    """The f32 path — the one that compiles on real TPU (Mosaic); also the
+    TPUSPARSE_TEST_TPU=1 coverage for the gather kernel."""
+    n = 800
+    csr = _random_banded_csr(n, 40, 5, seed=4)
+    dense = csr.to_dense()
+    op = ops.get_operator("csr", csr, dtype=jnp.float32)
+    assert "loc" in (op._buffers or {})
+    x = np.random.RandomState(5).randn(n).astype(np.float32)
+    y = np.asarray(op.from_field(op.run_device(op.as_field(x))), np.float64)
+    np.testing.assert_allclose(y, dense @ x.astype(np.float64), rtol=1e-4, atol=1e-4)
+
+
+def test_gather_stencil_f32_vs_xla_oracle():
+    g = 64
+    st = generate.make_stencil5(g)
+    op = ops.get_operator("csr", st, dtype=jnp.float32)
+    op_ref = ops.get_operator("stencil5-xla", st, dtype=jnp.float32)
+    x = np.random.RandomState(6).randn(g * g).astype(np.float32)
+    y = np.asarray(op.from_field(op.run_device(op.as_field(x))), np.float64)
+    yr = np.asarray(op_ref.from_field(op_ref.run_device(op_ref.as_field(x))), np.float64)
+    np.testing.assert_allclose(y, yr, rtol=1e-5, atol=1e-5)

@@ -183,8 +183,14 @@ def test_input_patterns(pattern):
 
 def test_const_xla_matches_const_pallas_and_dense():
     """stencil5-const-xla (the f64-at-scale path): exact vs the const Pallas kernel and
-    the dense matrix, f64."""
+    the dense matrix, f64 (CPU/interpret; the f32 test below is the TPU coverage)."""
+    import jax
     import jax.numpy as jnp
+
+    if jax.default_backend() != "cpu":
+        import pytest
+
+        pytest.skip("f64 Pallas comparison is CPU/interpret-only (Mosaic has no f64)")
     import numpy as np
 
     from tpusparse import formats, generate, ops
@@ -217,3 +223,19 @@ def test_const_xla_cg_iteration_parity_f64():
     op = ops.get_operator("stencil5-const-xla", st, dtype=jnp.float64)
     x, stats = cg.cg_solve(op, jnp.ones((g, g), jnp.float64))
     assert stats.iterations == iters_ref
+
+
+def test_const_xla_f32_matches_dense():
+    """stencil5-const-xla f32 vs dense — pure XLA, runs on real TPU too."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusparse import formats, generate, ops
+
+    g = 48
+    st = generate.make_stencil5(g)
+    dense = formats.stencil5_to_csr(st).to_dense()
+    op = ops.get_operator("stencil5-const-xla", st, dtype=jnp.float32)
+    x = np.random.RandomState(1).randn(g * g).astype(np.float32)
+    y = np.asarray(op.from_field(op.run_device(op.as_field(x))), np.float64)
+    np.testing.assert_allclose(y, dense @ x.astype(np.float64), rtol=1e-5, atol=1e-5)
