@@ -113,10 +113,12 @@ def bench_spmv_roofline() -> dict:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    from tpusparse.bench.probes import slope_seconds
+
     run(x)
     _ = float(jnp.sum(run(x)))  # warm + sync
-    per_apply = (chain(k_hi) - chain(k_lo)) / (k_hi - k_lo)
-    gbs = 7 * g * g * 4 / max(per_apply, 1e-9) / 1e9
+    per_apply = slope_seconds(chain(k_lo), chain(k_hi), k_lo, k_hi)
+    gbs = 7 * g * g * 4 / per_apply / 1e9
     peak, _ = chip_peaks(info["device_kind"])
     frac = gbs / peak
     print(f"[bench] stencil5 spmv: {per_apply * 1e3:.3f} ms/apply (slope), {gbs:.1f} GB/s, "

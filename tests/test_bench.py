@@ -255,3 +255,13 @@ class TestCeilingProbe:
             sysinfo={"device_kind": "cpu"}, sum_y=0.0, norm2_y=0.0,
         )
         assert "roofline_fraction_achievable" not in d["benchmark"]["performance"]
+
+
+def test_slope_noise_guard_falls_back_to_chain_average():
+    """slope_seconds: jitter-dominated (t_hi <= t_lo) must fall back to the chain
+    average, never return a near-zero slope that exports absurd bandwidths."""
+    from tpusparse.bench.probes import slope_seconds
+
+    assert slope_seconds(0.5, 0.4, 2, 8) == pytest.approx(0.4 / 8)   # negative slope
+    assert slope_seconds(0.5, 0.5001, 2, 8) == pytest.approx(0.5001 / 8)  # ~zero slope
+    assert slope_seconds(0.2, 0.8, 2, 8) == pytest.approx(0.1)       # healthy slope

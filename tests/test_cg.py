@@ -266,3 +266,29 @@ def test_sharded_operator_cache_mesh_content_keyed():
     op_a = cg_sharded.make_sharded_operator(mesh_a, 16, mode="stencil5")
     op_b = cg_sharded.make_sharded_operator(mesh_b, 16, mode="stencil5")
     assert op_a is op_b  # content-equal meshes share the cached operand
+
+
+def test_cg_accepts_unhashable_callable():
+    """The bare-callable API must accept UNHASHABLE callables (e.g. an eq=True dataclass
+    with __call__): the cache wraps them in an identity key instead of hashing them."""
+    import dataclasses
+
+    g = 12
+    st = generate.make_stencil5(g)
+    op = ops.get_operator("stencil5-xla", st)
+    dt = op.ones_b(jnp.float32).dtype if jnp.zeros(()).dtype != jnp.float64 else jnp.float64
+
+    @dataclasses.dataclass(eq=True)
+    class SpmvDot:
+        scale: float
+
+        def __call__(self, p):
+            y, pap = op.run_device_dot(p)
+            return y, pap
+
+    fn = SpmvDot(1.0)
+    with pytest.raises(TypeError):
+        hash(fn)  # precondition: genuinely unhashable
+    b = op.ones_b(dt)
+    x, stats = cg.cg_solve(fn, b)
+    assert stats.converged

@@ -78,13 +78,27 @@ def _triad_probe(iters: int):
     return run
 
 
+def slope_seconds(t_lo: float, t_hi: float, k_lo: int, k_hi: int) -> float:
+    """Per-pass seconds from paired-count timings, with the noise guard EVERY user of
+    the differencing protocol must share (kernel_time_ms, bench.py, the probes).
+
+    When fixed-cost jitter (±ms readback RTT) exceeds the true slope, t_hi can come out
+    ≤ t_lo; returning the raw clamped slope would export absurd TB/s numbers.  The
+    guard falls back to the chain-average t_hi/k_hi — biased HIGH by fixed/k_hi (i.e.
+    kernel-unflattering), never nonsensical."""
+    slope = (t_hi - t_lo) / (k_hi - k_lo)
+    fallback = t_hi / k_hi
+    if slope <= 0 or slope < 0.05 * fallback:
+        return fallback
+    return slope
+
+
 def measure_probe_slope(make_probe, args, bytes_per_pass: int,
                         k_lo: int = 6, k_hi: int = 24, reps: int = 3) -> float:
     """GB/s from the paired-iteration slope of one probe."""
     t_lo = _timed_best(make_probe(k_lo), args, reps)
     t_hi = _timed_best(make_probe(k_hi), args, reps)
-    slope = max((t_hi - t_lo) / (k_hi - k_lo), 1e-12)
-    return bytes_per_pass / slope / 1e9
+    return bytes_per_pass / slope_seconds(t_lo, t_hi, k_lo, k_hi) / 1e9
 
 
 def measure_achievable_bw(n_elems: int = 0, k_lo: int = 6, k_hi: int = 24,
@@ -112,12 +126,3 @@ def measure_achievable_bw(n_elems: int = 0, k_lo: int = 6, k_hi: int = 24,
     }
 
 
-_CEILING_CACHE: Dict[str, float] = {}
-
-
-def achievable_ceiling_gbs(refresh: bool = False) -> float:
-    """Process-cached achievable ceiling (the probe suite costs a few seconds)."""
-    key = jax.default_backend()
-    if refresh or key not in _CEILING_CACHE:
-        _CEILING_CACHE[key] = measure_achievable_bw()["achievable_gbs"]
-    return _CEILING_CACHE[key]

@@ -122,9 +122,13 @@ def main(argv=None) -> int:
     # multi-process arrays are not fully addressable: the gather helper handles both cases
     # (the MPI_Gatherv analog, cg_solver_mgpu_partitioned.cu:834-851).  Timed: the
     # reference reports it as CGStatsMultiGPU time_allgather (cg_solver_mgpu.h:55-67).
+    # Only a REAL device gather is timed — on padded grids (g % chips != 0) the solver
+    # already gathered to host internally and timing a numpy view would report a
+    # meaningless ~0 ms; the field is omitted rather than faked.
+    was_device = isinstance(x, jax.Array)
     t_gather = time.perf_counter()
     x_host = np.asarray(gather_to_host(x), np.float64).ravel()[: g * g]
-    allgather_ms = (time.perf_counter() - t_gather) * 1e3
+    allgather_ms = (time.perf_counter() - t_gather) * 1e3 if was_device else None
     # gflops_spmv only when the SpMV phase was actually measured (--timers stepped loop);
     # the fused device-native solve has no per-phase breakdown and the field is OMITTED
     # rather than fabricated from an invented share (reference computes it from measured
@@ -138,7 +142,9 @@ def main(argv=None) -> int:
         matrix_name=f"stencil5-{g}x{g}", op=op, cg_stats=cg_stats, bench_stats=bench,
         sysinfo=info, sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
         gflops_spmv=gfl,
-        extra_timing={"num_chips": nchips, "allgather_ms": allgather_ms},
+        extra_timing={"num_chips": nchips,
+                      **({"allgather_ms": allgather_ms}
+                         if allgather_ms is not None else {})},
     )
     if is_primary:
         export.print_human_cg(result)

@@ -57,7 +57,8 @@ class GatherEllOperand:
 
     w0: jax.Array      # (nb*W,) int32 — per (block, slot) window start row (sublane units)
     q: jax.Array       # (nb, W, nsub) int32 — per-subtile offset within the slot window
-    spans: jax.Array   # (nb, W, nsub) int32 — per-subtile sublane span (diagnostics)
+    spans: jax.Array   # (nb, W, nsub) int32 — per-subtile sublane spans (pack-time
+                       # diagnostics only; the kernel ladder is static — see _gather_kernel)
     loc: jax.Array     # (nb, W, nsub, 8, 128) int32 — window-local column indices
     vals: jax.Array    # (nb, W, nsub, 8, 128) dtype — ELL values
     # overflow: the rare entries beyond the percentile-chosen kernel span (e.g. the
@@ -156,7 +157,18 @@ def pack_gather_ell(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: int, dty
     swin += (-swin) % 8  # DMA row-count alignment (8-row hardware requirement)
     if swin > swin_limit:
         raise GatherPackError(
-            f"slot window of {swin} sublanes exceeds VMEM budget {swin_limit}")
+            f"slot window of {swin} sublanes exceeds the window limit {swin_limit}")
+    # the REAL VMEM footprint, not just the per-slot window: xw scratch (width slots) +
+    # the double-buffered loc/vals blocks + the y block.  Over budget → fall back (the
+    # Mosaic compile would otherwise fail AFTER the loud-fallback seam has passed).
+    itemsize = 8 if dtype == jnp.float64 else 4
+    vmem = (width * swin * LANES * itemsize                      # xw scratch
+            + 2 * width * nsub * 8 * LANES * (4 + itemsize)      # loc + vals, 2 buffers
+            + 2 * nsub * 8 * LANES * itemsize)                   # y, 2 buffers
+    if vmem > 12 * 2 ** 20:
+        raise GatherPackError(
+            f"packed operand needs ~{vmem / 2**20:.1f} MB of VMEM (width {width}, "
+            f"window {swin} sublanes) — over the ~12 MB budget; use the XLA gather path")
 
     # (nb, nsub, width) → kernel-facing (nb, width, nsub, ...)
     q_rel = np.transpose(q_rel_btk, (0, 2, 1)).astype(np.int32)
@@ -182,7 +194,7 @@ def pack_gather_ell(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: int, dty
     )
 
 
-def _gather_kernel(w0_ref, loc_ref, vals_ref, q_ref, span_ref, x_hbm, y_ref, xw, sems, *,
+def _gather_kernel(w0_ref, loc_ref, vals_ref, q_ref, x_hbm, y_ref, xw, sems, *,
                    width: int, nsub: int, swin: int, span: int):
     b = pl.program_id(0)
     # one window DMA per slot, all in flight before the first wait
@@ -224,7 +236,7 @@ def _gather_kernel(w0_ref, loc_ref, vals_ref, q_ref, span_ref, x_hbm, y_ref, xw,
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
-def _spmv_gather_jit(w0, loc, vals, q, spans, x128, *, meta, interpret):
+def _spmv_gather_jit(w0, loc, vals, q, x128, *, meta, interpret):
     width, nb, nsub, swin, span = meta
     kernel = functools.partial(_gather_kernel, width=width, nsub=nsub, swin=swin,
                                span=span)
@@ -236,8 +248,6 @@ def _spmv_gather_jit(w0, loc, vals, q, spans, x128, *, meta, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, width, nsub, 8, LANES), lambda b, w0r: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, width, nsub), lambda b, w0r: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, width, nsub), lambda b, w0r: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual window DMA
@@ -260,7 +270,7 @@ def _spmv_gather_jit(w0, loc, vals, q, spans, x128, *, meta, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(w0, loc, vals, q, spans, x128)
+    )(w0, loc, vals, q, x128)
 
 
 def static_meta(op: GatherEllOperand) -> tuple:
@@ -268,7 +278,7 @@ def static_meta(op: GatherEllOperand) -> tuple:
     return (op.width, op.nb, op.nsub, op.swin, op.span, op.x_rows, op.num_rows)
 
 
-def spmv_gather_ell_arrays(w0, q, spans, loc, vals, orow, ocol, oval, x128, *,
+def spmv_gather_ell_arrays(w0, q, loc, vals, orow, ocol, oval, x128, *,
                            meta: tuple, interpret: bool = False):
     """y = A·x from the packed ARRAYS (the jit-argument form the operator registry needs:
     device operands enter compiled programs as runtime arguments, never closures).
@@ -279,7 +289,7 @@ def spmv_gather_ell_arrays(w0, q, spans, loc, vals, orow, ocol, oval, x128, *,
     width, nb, nsub, swin, span, x_rows, num_rows = meta
     assert x128.shape == (x_rows, LANES), (x128.shape, x_rows)
     with x64_off_for_32bit(vals, x128):
-        y = _spmv_gather_jit(w0, loc, vals, q, spans, x128,
+        y = _spmv_gather_jit(w0, loc, vals, q, x128,
                              meta=(width, nb, nsub, swin, span), interpret=interpret)
     y = y.astype(x128.dtype)
     if orow.shape[0]:
@@ -304,6 +314,6 @@ def spmv_gather_ell_arrays(w0, q, spans, loc, vals, orow, ocol, oval, x128, *,
 
 def spmv_gather_ell(op: GatherEllOperand, x128, *, interpret: bool = False):
     """Convenience wrapper over the packed-operand dataclass (tests, one-off use)."""
-    return spmv_gather_ell_arrays(op.w0, op.q, op.spans, op.loc, op.vals,
+    return spmv_gather_ell_arrays(op.w0, op.q, op.loc, op.vals,
                                   op.orow, op.ocol, op.oval, x128,
                                   meta=static_meta(op), interpret=interpret)

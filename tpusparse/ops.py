@@ -149,9 +149,13 @@ class DeviceOperator:
                 best = min(best, time.perf_counter() - t0)
             return best
 
+        from .bench.probes import slope_seconds
+
         t_lo = chain_run(k_lo)
         t_hi = chain_run(k_hi)
-        return max((t_hi - t_lo) / (k_hi - k_lo), 1e-9) * 1e3
+        # shared noise guard: a jitter-dominated negative slope falls back to the
+        # (kernel-unflattering) chain average instead of exporting absurd numbers
+        return slope_seconds(t_lo, t_hi, k_lo, k_hi) * 1e3
 
     def _run_dtype(self):
         return self._buffers.get("dtype", _default_dtype()) if isinstance(
@@ -361,8 +365,8 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
     interp = _is_cpu()
 
     def run_device_op(x, operands):
-        w0, q, spans, loc, vals, orow, ocol, oval = operands
-        return _gell.spmv_gather_ell_arrays(w0, q, spans, loc, vals, orow, ocol, oval,
+        w0, q, loc, vals, orow, ocol, oval = operands
+        return _gell.spmv_gather_ell_arrays(w0, q, loc, vals, orow, ocol, oval,
                                             x.astype(dtype), meta=meta, interpret=interp)
 
     def run_device_dot_op(x, operands):
@@ -370,7 +374,7 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
         y = run_device_op(x, operands)
         return y, jnp.vdot(x, y)
 
-    operands = (packed.w0, packed.q, packed.spans, packed.loc, packed.vals,
+    operands = (packed.w0, packed.q, packed.loc, packed.vals,
                 packed.orow, packed.ocol, packed.oval)
     run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, operands)
 

@@ -168,7 +168,8 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         operands = ()
         spmv_op = (lambda x, _o: spmv(x)) if nonzero_x0 else None
         fused = None
-        key_id = ("fn", operator_or_spmv_dot, spmv, nonzero_x0)
+        key_id = ("fn", _IdentityKey.wrap(operator_or_spmv_dot), _IdentityKey.wrap(spmv),
+                  nonzero_x0)
     if fused_pupdate is True and fused is None:
         raise ValueError("fused_pupdate requested but the operator has no "
                          "run_fused_pupdate_op")
@@ -198,6 +199,31 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         total_time_ms=total_ms,
     )
     return x, stats
+
+
+class _IdentityKey:
+    """Identity-keyed cache wrapper for UNHASHABLE callables (e.g. a dataclass instance
+    with ``__call__``).  Holds a strong reference, so — unlike a bare id() — the id can
+    never be recycled into a false cache hit.  Hashable callables are used directly."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def __hash__(self):
+        return id(self.obj)
+
+    def __eq__(self, other):
+        return isinstance(other, _IdentityKey) and other.obj is self.obj
+
+    @staticmethod
+    def wrap(obj):
+        try:
+            hash(obj)
+            return obj
+        except TypeError:
+            return _IdentityKey(obj)
 
 
 _SOLVER_CACHE = {}
