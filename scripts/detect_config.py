@@ -42,6 +42,11 @@ def main() -> int:
         g1 = max_grid(hbm, 4, wpp)
         gn = max_grid(hbm * n, 4, wpp)
         print(f"max grid f32 {name:22s}: {g1:>7,} single chip | {gn:>7,} on {n} chips")
+    # f64 on TPU (XLA-emulated): values-carrying OOMs already at 10240² (measured 19.6 GB
+    # — planes + hi/lo-split temps); the values-free const-xla path fits 10240².  One
+    # measured fit anchor only, so report the anchor, not an extrapolated max.
+    print("f64 CG (stencil5-const-xla)        :  10,240 fits (measured); values-carrying"
+          " f64 OOMs at 10,240 (19.6 GB)")
     from tpusparse import native
 
     print(f"native io:   {'built' if native.available() else 'numpy fallback'}")
