@@ -24,6 +24,19 @@ windowing) raise ``GatherPackError`` — callers fall back to the XLA gather pat
 That failure mode is honest: SpMV with truly random column structure is gather-latency
 bound on every architecture; the windowed kernel covers the sparsity classes the
 reference's benchmark suite (and cuSPARSE's fast paths) actually exercise.
+
+Design space explored (measured on v5e, g=2048-10240; kept for the next optimizer):
+  - dynamic per-subtile ladder bounds (fori_loop over the measured span): 13× SLOWER —
+    Mosaic's dynamic loops defeat unrolling/pipelining; the static ladder stays.
+  - affine per-sublane windows (window row = q + output_sublane, so one (8, 128) block
+    slice replaces broadcast+select and span drops ~9 → 2): the required dynamic
+    UNALIGNED 8-row VMEM slice CRASHES the TPU worker outright (same failure class as
+    misaligned DMAs; single-row dynamic slices — what this kernel uses — are safe).
+    Rebuilding the block from 8 single-row slices costs back most of the win (~1.8×
+    projected), not worth the baseline kernel's stability.
+  - The kernel is select-ladder (VPU) bound at large g: 33.7 ms at 10240² vs ~10 ms of
+    pure traffic.  That is the honest cost of gather on a lane machine — exactly the
+    gap the STENCIL5 structure-exploiting formulation exists to avoid.
 """
 
 from __future__ import annotations
