@@ -207,3 +207,67 @@ def test_sharded_bf16_coefficients_match_f32():
                                            dtype=jnp.float32)
     assert s32.iterations == s16.iterations
     assert np.array_equal(np.asarray(x32), np.asarray(x16))
+
+
+class Test2DDecomposition:
+    """2-D block decomposition — beyond the reference (its partitioning is 1-D only,
+    cg_solver_mgpu_partitioned.cu:262-331).  Parity gates: identical iteration counts
+    and 1e-12 solutions vs the single-device solve, across mesh shapes including the
+    degenerate (P,1)/(1,P) cases and both values/const kernels."""
+
+    @staticmethod
+    def _single(g):
+        from tpusparse import generate, ops
+        from tpusparse.solvers import cg
+
+        op = ops.get_operator("stencil5", generate.make_stencil5(g), dtype=jnp.float64)
+        return cg.cg_solve(op, jnp.ones((g, g), jnp.float64))
+
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8), (2, 2)])
+    @_f64_kernels
+    def test_2d_parity_values(self, shape):
+        import jax
+
+        if jax.device_count() < shape[0] * shape[1]:
+            pytest.skip("needs more devices")
+        g = 24
+        x1, s1 = self._single(g)
+        mesh = jax.make_mesh(shape, ("x", "y"))
+        x2, s2 = cg_sharded.cg_solve_sharded_2d(mesh, g, mode="stencil5",
+                                                dtype=jnp.float64)
+        assert s2.iterations == s1.iterations
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12,
+                                   atol=1e-12)
+
+    @_f64_kernels
+    def test_2d_parity_const(self):
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        g = 24
+        x1, s1 = self._single(g)
+        mesh = jax.make_mesh((2, 4), ("x", "y"))
+        x2, s2 = cg_sharded.cg_solve_sharded_2d(mesh, g, mode="stencil5-const",
+                                                dtype=jnp.float64)
+        assert s2.iterations == s1.iterations
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12,
+                                   atol=1e-12)
+
+    def test_2d_rejects_non_divisible_grid(self):
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        mesh = jax.make_mesh((2, 4), ("x", "y"))
+        with pytest.raises(ValueError, match="divide"):
+            cg_sharded.cg_solve_sharded_2d(mesh, 30, dtype=jnp.float64)
+
+    def test_2d_rejects_1d_mesh(self):
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        mesh = jax.make_mesh((8,), ("x",))
+        with pytest.raises(ValueError, match="2-axis"):
+            cg_sharded.cg_solve_sharded_2d(mesh, 24, dtype=jnp.float64)

@@ -38,6 +38,10 @@ def build_parser():
     p.add_argument("--runs", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--dtype", default=None, choices=[None, "f32", "f64", "bf16"])
+    p.add_argument("--mesh2d", default=None, metavar="RxC",
+                   help="2-D block decomposition over an RxC device mesh — beyond the "
+                        "reference's 1-D row bands (perimeter-scaled halos); the grid "
+                        "must divide both extents")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() first (one process per host)")
     p.add_argument("--timers", action="store_true",
@@ -67,7 +71,17 @@ def main(argv=None) -> int:
         print("[ERROR] multichip solver takes gen:<grid_size> operands", file=sys.stderr)
         return 2
     g = int(args.matrix[4:])
-    mesh = make_band_mesh(args.chips)
+    mesh2d = None
+    if args.mesh2d:
+        if args.timers:
+            print("[ERROR] --timers is a 1-D-solver mode (use it without --mesh2d)",
+                  file=sys.stderr)
+            return 2
+        r, c = (int(v) for v in args.mesh2d.lower().split("x"))
+        mesh = jax.make_mesh((r, c), ("x", "y"))
+        mesh2d = (r, c)
+    else:
+        mesh = make_band_mesh(args.chips)
     nchips = mesh.devices.size
     info = sysinfo.get_system_info()
     is_primary = jax.process_index() == 0
@@ -83,7 +97,12 @@ def main(argv=None) -> int:
 
     def run_solve():
         t0 = time.perf_counter()
-        if args.timers:
+        if mesh2d:
+            x, st = cg_sharded.cg_solve_sharded_2d(
+                mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
+                dtype=dtype,
+            )
+        elif args.timers:
             x, st = cg_sharded.cg_solve_sharded_stepped(
                 mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
                 dtype=dtype,
@@ -107,16 +126,25 @@ def main(argv=None) -> int:
         if is_primary:
             print(f"[INFO] trace captured: {args.trace}")
 
-    op = cg_sharded.make_sharded_operator(mesh, g, mode=args.mode, dtype=dtype)
-    if is_primary:
-        # Load-imbalance report, printed always (reference cg_solver_mgpu_partitioned.cu:
-        # 758-773 MAX/MIN rank-timer reduction).  Under single-process SPMD every shard runs
-        # ONE fused program in lockstep, so the only imbalance source is the row-padding
-        # remainder; report that bound instead of redundant per-shard timers.
-        band = (g + op.row_pad) // nchips
-        imbalance = 100.0 * op.row_pad / band if band else 0.0
-        print(f"Load imbalance:      {imbalance:.2f}% "
-              f"(row padding {op.row_pad} of band {band}; SPMD lockstep otherwise)")
+    if mesh2d:
+        import types
+
+        op = types.SimpleNamespace(num_rows=g * g, num_cols=g * g,
+                                   nnz=5 * g * g - 4 * g, grid_size=g, mode=args.mode)
+        if is_primary:
+            print("Load imbalance:      0.00% (2-D blocks require exact divisibility; "
+                  "SPMD lockstep)")
+    else:
+        op = cg_sharded.make_sharded_operator(mesh, g, mode=args.mode, dtype=dtype)
+        if is_primary:
+            # Load-imbalance report, printed always (reference cg_solver_mgpu_partitioned
+            # .cu:758-773 MAX/MIN rank-timer reduction).  Under single-process SPMD every
+            # shard runs ONE fused program in lockstep, so the only imbalance source is the
+            # row-padding remainder; report that bound instead of redundant per-shard timers.
+            band = (g + op.row_pad) // nchips
+            imbalance = 100.0 * op.row_pad / band if band else 0.0
+            print(f"Load imbalance:      {imbalance:.2f}% "
+                  f"(row padding {op.row_pad} of band {band}; SPMD lockstep otherwise)")
     from ..dist import gather_to_host
 
     # multi-process arrays are not fully addressable: the gather helper handles both cases
@@ -138,7 +166,8 @@ def main(argv=None) -> int:
     result = export.cg_result_dict(
         # op.mode, not args.mode: a padded stencil5-const request falls back to values-
         # carrying stencil5 and the record must say what actually ran
-        solver=f"tpusparse-cg-sharded-{nchips}chip", mode=op.mode,
+        solver=(f"tpusparse-cg-sharded2d-{mesh2d[0]}x{mesh2d[1]}" if mesh2d
+                else f"tpusparse-cg-sharded-{nchips}chip"), mode=op.mode,
         matrix_name=f"stencil5-{g}x{g}", op=op, cg_stats=cg_stats, bench_stats=bench,
         sysinfo=info, sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
         gflops_spmv=gfl,
