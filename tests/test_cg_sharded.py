@@ -271,3 +271,38 @@ class Test2DDecomposition:
         mesh = jax.make_mesh((8,), ("x",))
         with pytest.raises(ValueError, match="2-axis"):
             cg_sharded.cg_solve_sharded_2d(mesh, 24, dtype=jnp.float64)
+
+
+    @_f64_kernels
+    def test_2d_overlap_matches_sync(self):
+        """2-D interior/boundary-split (overlapped) SpMV ≡ the synchronous formulation —
+        the same drift-free-by-construction property the 1-D overlap path proves."""
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        g = 24
+        mesh = jax.make_mesh((2, 4), ("x", "y"))
+        x1, s1 = cg_sharded.cg_solve_sharded_2d(mesh, g, mode="stencil5",
+                                                dtype=jnp.float64, overlap=False)
+        x2, s2 = cg_sharded.cg_solve_sharded_2d(mesh, g, mode="stencil5",
+                                                dtype=jnp.float64, overlap=True)
+        assert s1.iterations == s2.iterations
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x1), rtol=1e-12,
+                                   atol=1e-14)
+
+    def test_2d_bf16c_matches_f32(self):
+        """2-D stencil5-bf16c ≡ 2-D stencil5 f32 bitwise (exactly representable
+        coefficients), mirroring the 1-D bf16c invariant."""
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
+        g = 24
+        mesh = jax.make_mesh((2, 4), ("x", "y"))
+        x32, s32 = cg_sharded.cg_solve_sharded_2d(mesh, g, mode="stencil5",
+                                                  dtype=jnp.float32)
+        x16, s16 = cg_sharded.cg_solve_sharded_2d(mesh, g, mode="stencil5-bf16c",
+                                                  dtype=jnp.float32)
+        assert s32.iterations == s16.iterations
+        assert np.array_equal(np.asarray(x32), np.asarray(x16))

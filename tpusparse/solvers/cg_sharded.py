@@ -542,11 +542,15 @@ def _halo_exchange_2d(xb, ax_r: str, nr: int, ax_c: str, nc: int):
 def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
                         diag: float = 5.0, offdiag: float = -1.0,
                         tolerance: float = 1e-6, max_iters: int = 1000,
-                        dtype=jnp.float32, b=None):
+                        dtype=jnp.float32, b=None, overlap: bool = True):
     """CG over a 2-D (Px, Py) device mesh — block decomposition (see section comment).
 
     ``mesh`` must have exactly two axes; ``grid_size`` must divide by both extents
     (2-D padding is not implemented — use the 1-D solver for remainder grids).
+    ``overlap=True`` (default) splits interior/boundary like the 1-D path: the Pallas
+    core covers rows [1, rows−1) with LOCAL halo rows, so it has no data dependency on
+    any of the four ppermutes — XLA can run all halo traffic under the core compute;
+    only the two boundary rows and the two column-edge corrections consume halos.
     Returns (x block-sharded (g, g), CGStats)."""
     if len(mesh.axis_names) != 2:
         raise ValueError(f"2-D solver needs a 2-axis mesh, got axes {mesh.axis_names}")
@@ -574,20 +578,62 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     axes_both = (ax_r, ax_c)
     from ..formats import E as _E, W as _W
 
-    def local_spmv_dot(planes_l, p_l):
+    from ..formats import C as _C, N as _N, S as _S
+
+    def _colfix(y, planes_l, p_l, hw, he, rows=slice(None)):
+        """The two internal column-edge corrections (see section comment)."""
+        if mode == "stencil5-const":
+            y = y.at[:, :1].add(offdiag * hw[rows])
+            y = y.at[:, -1:].add(offdiag * he[rows])
+        else:
+            wcol = planes_l[_W, rows, :1].astype(y.dtype)
+            ecol = planes_l[_E, rows, -1:].astype(y.dtype)
+            y = y.at[:, :1].add(wcol * (hw[rows] - p_l[rows, :1]))
+            y = y.at[:, -1:].add(ecol * (he[rows] - p_l[rows, -1:]))
+        return y
+
+    def _edge_row_y(prow, xrow, xn_row, xs_row, wcell, ecell):
+        """One boundary row via XLA, halos INSIDE the shifts (so no masks: a zero halo at
+        a true grid edge IS the Dirichlet condition, same invariant as everywhere)."""
+        xw = jnp.concatenate([wcell, xrow[:, :-1]], axis=1)
+        xe = jnp.concatenate([xrow[:, 1:], ecell], axis=1)
+        if mode == "stencil5-const":
+            return diag * xrow + offdiag * (xn_row + xs_row + xw + xe)
+        return (prow[_C] * xrow + prow[_W] * xw + prow[_E] * xe
+                + prow[_N] * xn_row + prow[_S] * xs_row).astype(xrow.dtype)
+
+    def local_spmv_dot_sync(planes_l, p_l):
         hp, hn, hw, he = _halo_exchange_2d(p_l, ax_r, nr, ax_c, nc)
         if mode == "stencil5-const":
             y = spmv_stencil5_const_pallas(p_l, hp, hn, diag=diag, offdiag=offdiag)
-            y = y.at[:, :1].add(offdiag * hw)
-            y = y.at[:, -1:].add(offdiag * he)
         else:
             y = spmv_stencil5_pipelined(planes_l, p_l, hp, hn)
-            wcol = planes_l[_W, :, :1].astype(y.dtype)
-            ecol = planes_l[_E, :, -1:].astype(y.dtype)
-            y = y.at[:, :1].add(wcol * (hw - p_l[:, :1]))
-            y = y.at[:, -1:].add(ecol * (he - p_l[:, -1:]))
+        y = _colfix(y, planes_l, p_l, hw, he)
         pap = jax.lax.psum(jnp.vdot(p_l, y), axes_both)
         return y, pap
+
+    def local_spmv_dot_overlapped(planes_l, p_l):
+        hp, hn, hw, he = _halo_exchange_2d(p_l, ax_r, nr, ax_c, nc)
+        # CORE (rows [1:-1]): local halo rows only — independent of all four ppermutes
+        if mode == "stencil5-const":
+            y_core = spmv_stencil5_const_pallas(p_l[1:-1], p_l[0:1], p_l[-1:],
+                                                diag=diag, offdiag=offdiag)
+        else:
+            y_core = spmv_stencil5_pipelined(planes_l[:, 1:-1], p_l[1:-1],
+                                             p_l[0:1], p_l[-1:])
+        y_core = _colfix(y_core, planes_l, p_l, hw, he, rows=slice(1, -1))
+        # BOUNDARY rows 0 and −1: cheap XLA math consuming the halos
+        p_first = None if mode == "stencil5-const" else planes_l[:, 0:1]
+        p_last = None if mode == "stencil5-const" else planes_l[:, -1:]
+        y_first = _edge_row_y(p_first, p_l[0:1], hp, p_l[1:2], hw[0:1], he[0:1])
+        y_last = _edge_row_y(p_last, p_l[-1:], p_l[-2:-1], hn, hw[-1:], he[-1:])
+        y = jnp.concatenate([y_first, y_core, y_last], axis=0)
+        pap = jax.lax.psum(jnp.vdot(p_l, y), axes_both)
+        return y, pap
+
+    block_rows = g // nr
+    use_overlap = overlap and block_rows >= 3
+    local_spmv_dot = local_spmv_dot_overlapped if use_overlap else local_spmv_dot_sync
 
     def local_cg(planes_l):
         b_l = jnp.ones((g // nr, g // nc), dtype)
