@@ -77,7 +77,16 @@ def main(argv=None) -> int:
             print("[ERROR] --timers is a 1-D-solver mode (use it without --mesh2d)",
                   file=sys.stderr)
             return 2
-        r, c = (int(v) for v in args.mesh2d.lower().split("x"))
+        try:
+            r, c = (int(v) for v in args.mesh2d.lower().split("x"))
+        except ValueError:
+            print(f"[ERROR] --mesh2d expects RxC (e.g. 2x4), got '{args.mesh2d}'",
+                  file=sys.stderr)
+            return 2
+        if r * c > jax.device_count():
+            print(f"[ERROR] --mesh2d={r}x{c} needs {r * c} devices, have "
+                  f"{jax.device_count()}", file=sys.stderr)
+            return 2
         mesh = jax.make_mesh((r, c), ("x", "y"))
         mesh2d = (r, c)
     else:
@@ -129,8 +138,10 @@ def main(argv=None) -> int:
     if mesh2d:
         import types
 
+        from ..generate import stencil5_nnz
+
         op = types.SimpleNamespace(num_rows=g * g, num_cols=g * g,
-                                   nnz=5 * g * g - 4 * g, grid_size=g, mode=args.mode)
+                                   nnz=stencil5_nnz(g), grid_size=g, mode=args.mode)
         if is_primary:
             print("Load imbalance:      0.00% (2-D blocks require exact divisibility; "
                   "SPMD lockstep)")

@@ -73,8 +73,9 @@ class ShardedOperator:
 
     @property
     def nnz(self) -> int:
-        g = self.grid_size
-        return 5 * g * g - 4 * g
+        from ..generate import stencil5_nnz
+
+        return stencil5_nnz(self.grid_size)
 
     @property
     def num_rows(self) -> int:
@@ -539,6 +540,9 @@ def _halo_exchange_2d(xb, ax_r: str, nr: int, ax_c: str, nc: int):
     return hp, hn, hw, he
 
 
+_SOLVER2D_CACHE = {}
+
+
 def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
                         diag: float = 5.0, offdiag: float = -1.0,
                         tolerance: float = 1e-6, max_iters: int = 1000,
@@ -551,7 +555,16 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     core covers rows [1, rows−1) with LOCAL halo rows, so it has no data dependency on
     any of the four ppermutes — XLA can run all halo traffic under the core compute;
     only the two boundary rows and the two column-edge corrections consume halos.
-    Returns (x block-sharded (g, g), CGStats)."""
+    Returns (x block-sharded (g, g), CGStats).
+
+    The compiled solve and the sharded planes are cached per (mesh, problem, config) —
+    Mesh hashes by content — so repeated benchmark solves measure the solve, never
+    retracing (same discipline as the 1-D _SOLVER_CACHE).  BLAS1 stays XLA-fused here
+    (the measured TPU default; the 1-D path carries the Pallas variants for CPU kernel
+    coverage) and every dot accumulates in ≥f32 regardless of the field dtype (a bf16
+    ⟨p,Ap⟩ would corrupt α/β — same rule as blas1._acc_dtype)."""
+    if b is not None:
+        raise NotImplementedError("2-D solver synthesizes b = ones in-graph (pass b=None)")
     if len(mesh.axis_names) != 2:
         raise ValueError(f"2-D solver needs a 2-axis mesh, got axes {mesh.axis_names}")
     ax_r, ax_c = mesh.axis_names
@@ -563,6 +576,31 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
             "use cg_solve_sharded (1-D, pads remainders) otherwise")
     if mode not in ("stencil5", "stencil5-bf16c", "stencil5-const"):
         raise ValueError(f"2-D solver supports the stencil modes, got {mode}")
+    key = (mesh, g, mode, diag, offdiag, str(dtype), float(tolerance), max_iters, overlap)
+    if key in _SOLVER2D_CACHE:
+        solve, planes = _SOLVER2D_CACHE[key]
+    else:
+        solve, planes = _build_2d_solver(mesh, g, mode, diag, offdiag, float(tolerance),
+                                         max_iters, dtype, overlap)
+        _SOLVER2D_CACHE[key] = (solve, planes)
+    t0 = time.perf_counter()
+    x, scalars = solve(planes)
+    rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
+    x.block_until_ready()
+    total_ms = (time.perf_counter() - t0) * 1e3
+    res = rr ** 0.5
+    return x, CGStats(
+        iterations=int(k_f),
+        converged=bool(res < tolerance * b_norm) if b_norm > 0 else True,
+        residual_norm=res,
+        relative_residual=res / b_norm if b_norm > 0 else 0.0,
+        total_time_ms=total_ms,
+    )
+
+
+def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, overlap):
+    ax_r, ax_c = mesh.axis_names
+    nr, nc = (int(mesh.shape[ax_r]), int(mesh.shape[ax_c]))
     has_planes = mode in ("stencil5", "stencil5-bf16c")
     if has_planes:
         from ..generate import make_stencil5_planes_device
@@ -576,21 +614,23 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
         planes = jnp.zeros((), dtype)
         pspec = P()
     axes_both = (ax_r, ax_c)
-    from ..formats import E as _E, W as _W
+    # dots accumulate in ≥f32 even for bf16 fields (the blas1._acc_dtype rule)
+    acc_dt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    from ..formats import C as _C, E as _E, N as _N, S as _S, W as _W
 
-    from ..formats import C as _C, N as _N, S as _S
+    def _ldot(a, bb):
+        return jnp.vdot(a.astype(acc_dt), bb.astype(acc_dt))
 
-    def _colfix(y, planes_l, p_l, hw, he, rows=slice(None)):
-        """The two internal column-edge corrections (see section comment)."""
+    def _gdot(a, bb):
+        return jax.lax.psum(_ldot(a, bb), axes_both)
+
+    def _col_deltas(planes_l, p_l, hw, he, rows=slice(None)):
+        """The two internal column-edge correction terms (see section comment)."""
         if mode == "stencil5-const":
-            y = y.at[:, :1].add(offdiag * hw[rows])
-            y = y.at[:, -1:].add(offdiag * he[rows])
-        else:
-            wcol = planes_l[_W, rows, :1].astype(y.dtype)
-            ecol = planes_l[_E, rows, -1:].astype(y.dtype)
-            y = y.at[:, :1].add(wcol * (hw[rows] - p_l[rows, :1]))
-            y = y.at[:, -1:].add(ecol * (he[rows] - p_l[rows, -1:]))
-        return y
+            return offdiag * hw[rows], offdiag * he[rows]
+        wcol = planes_l[_W, rows, :1].astype(p_l.dtype)
+        ecol = planes_l[_E, rows, -1:].astype(p_l.dtype)
+        return wcol * (hw[rows] - p_l[rows, :1]), ecol * (he[rows] - p_l[rows, -1:])
 
     def _edge_row_y(prow, xrow, xn_row, xs_row, wcell, ecell):
         """One boundary row via XLA, halos INSIDE the shifts (so no masks: a zero halo at
@@ -605,40 +645,46 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     def local_spmv_dot_sync(planes_l, p_l):
         hp, hn, hw, he = _halo_exchange_2d(p_l, ax_r, nr, ax_c, nc)
         if mode == "stencil5-const":
-            y = spmv_stencil5_const_pallas(p_l, hp, hn, diag=diag, offdiag=offdiag)
+            y, dot_loc = spmv_stencil5_const_pallas(p_l, hp, hn, diag=diag,
+                                                    offdiag=offdiag, with_dot=True)
         else:
-            y = spmv_stencil5_pipelined(planes_l, p_l, hp, hn)
-        y = _colfix(y, planes_l, p_l, hw, he)
-        pap = jax.lax.psum(jnp.vdot(p_l, y), axes_both)
-        return y, pap
+            y, dot_loc = spmv_stencil5_pipelined(planes_l, p_l, hp, hn, with_dot=True)
+        dw, de = _col_deltas(planes_l, p_l, hw, he)
+        y = y.at[:, :1].add(dw).at[:, -1:].add(de)
+        pap_loc = (dot_loc.astype(acc_dt) + _ldot(p_l[:, :1], dw)
+                   + _ldot(p_l[:, -1:], de))
+        return y, jax.lax.psum(pap_loc, axes_both)
 
     def local_spmv_dot_overlapped(planes_l, p_l):
         hp, hn, hw, he = _halo_exchange_2d(p_l, ax_r, nr, ax_c, nc)
         # CORE (rows [1:-1]): local halo rows only — independent of all four ppermutes
         if mode == "stencil5-const":
-            y_core = spmv_stencil5_const_pallas(p_l[1:-1], p_l[0:1], p_l[-1:],
-                                                diag=diag, offdiag=offdiag)
+            y_core, dot_core = spmv_stencil5_const_pallas(
+                p_l[1:-1], p_l[0:1], p_l[-1:], diag=diag, offdiag=offdiag,
+                with_dot=True)
         else:
-            y_core = spmv_stencil5_pipelined(planes_l[:, 1:-1], p_l[1:-1],
-                                             p_l[0:1], p_l[-1:])
-        y_core = _colfix(y_core, planes_l, p_l, hw, he, rows=slice(1, -1))
+            y_core, dot_core = spmv_stencil5_pipelined(
+                planes_l[:, 1:-1], p_l[1:-1], p_l[0:1], p_l[-1:], with_dot=True)
+        dw, de = _col_deltas(planes_l, p_l, hw, he, rows=slice(1, -1))
+        y_core = y_core.at[:, :1].add(dw).at[:, -1:].add(de)
         # BOUNDARY rows 0 and −1: cheap XLA math consuming the halos
         p_first = None if mode == "stencil5-const" else planes_l[:, 0:1]
         p_last = None if mode == "stencil5-const" else planes_l[:, -1:]
         y_first = _edge_row_y(p_first, p_l[0:1], hp, p_l[1:2], hw[0:1], he[0:1])
         y_last = _edge_row_y(p_last, p_l[-1:], p_l[-2:-1], hn, hw[-1:], he[-1:])
         y = jnp.concatenate([y_first, y_core, y_last], axis=0)
-        pap = jax.lax.psum(jnp.vdot(p_l, y), axes_both)
-        return y, pap
+        pap_loc = (dot_core.astype(acc_dt)
+                   + _ldot(p_l[1:-1, :1], dw) + _ldot(p_l[1:-1, -1:], de)
+                   + _ldot(p_l[0:1], y_first) + _ldot(p_l[-1:], y_last))
+        return y, jax.lax.psum(pap_loc, axes_both)
 
-    block_rows = g // nr
-    use_overlap = overlap and block_rows >= 3
+    use_overlap = overlap and (g // nr) >= 3
     local_spmv_dot = local_spmv_dot_overlapped if use_overlap else local_spmv_dot_sync
 
     def local_cg(planes_l):
         b_l = jnp.ones((g // nr, g // nc), dtype)
         r0 = b_l  # x0 = 0
-        rr0 = jax.lax.psum(jnp.vdot(r0, r0), axes_both)
+        rr0 = _gdot(r0, r0)
         b_norm = jnp.sqrt(rr0)
         tol2 = (tolerance * tolerance) * rr0
 
@@ -652,7 +698,7 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
             alpha = (rr / pap).astype(x.dtype)
             x = x + alpha * p
             r = r - alpha * ap
-            rr_new = jax.lax.psum(jnp.vdot(r, r), axes_both)
+            rr_new = _gdot(r, r)
             beta = (rr_new / rr).astype(x.dtype)
             p = r + beta * p
             return x, r, p, rr_new, k + 1
@@ -662,23 +708,8 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
         sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
         return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
-    if b is not None:
-        raise NotImplementedError("2-D solver synthesizes b = ones in-graph (pass b=None)")
     sharded = jax.shard_map(
         local_cg, mesh=mesh, in_specs=(pspec,),
         out_specs=(P(ax_r, ax_c), P()), check_vma=False,
     )
-    solve = jax.jit(sharded)
-    t0 = time.perf_counter()
-    x, scalars = solve(planes)
-    rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
-    x.block_until_ready()
-    total_ms = (time.perf_counter() - t0) * 1e3
-    res = rr ** 0.5
-    return x, CGStats(
-        iterations=int(k_f),
-        converged=bool(res < tolerance * b_norm) if b_norm > 0 else True,
-        residual_norm=res,
-        relative_residual=res / b_norm if b_norm > 0 else 0.0,
-        total_time_ms=total_ms,
-    )
+    return jax.jit(sharded), planes
