@@ -55,6 +55,18 @@ def _pick_block_rows(g: int, vmem_budget_bytes: int = 5_500_000, itemsize: int =
     return int(bg - (bg % 8)) or 8
 
 
+def _pick_block_rows_const(g: int) -> int:
+    """Slab height for the VALUES-FREE kernel: no planes stream, so the budget is set by
+    the x/y slabs + pipeline double-buffering + the neighbor windows alone.  Measured
+    boundary on v5e (slope protocol, f32): bg·g = 491K elements compiles everywhere
+    tested (48×10240, 32×15360, 24×20480), 655K hits the 16 MB scoped-VMEM wall
+    (64×10240, 32×20480).  The larger slabs are 10-22% faster than the 7-word chooser's
+    picks — the const kernel was paying the values kernel's plane budget for planes it
+    doesn't have."""
+    bg = max(8, min(256, 500_000 // max(g, 1)))
+    return int(bg - (bg % 8)) or 8
+
+
 def _stencil5_kernel(planes_ref, xm_ref, xtop_ref, xbot_ref, hprev_ref, hnext_ref,
                      y_ref, *maybe_dot_ref, with_dot: bool, nrows_total: int = 0,
                      block_rows: int = 0, row_in_win: int = 0):
@@ -271,7 +283,7 @@ def spmv_stencil5_const_pallas(x, halo_prev=None, halo_next=None, *, diag: float
         halo_prev = jnp.zeros((1, g), x.dtype)
     if halo_next is None:
         halo_next = jnp.zeros((1, g), x.dtype)
-    bg = block_rows or _pick_block_rows(g, itemsize=x.dtype.itemsize)
+    bg = block_rows or _pick_block_rows_const(g)
     bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
     if bg % _ROWWIN and bg != rows:
         bg = max(_ROWWIN, bg - bg % _ROWWIN)  # see spmv_stencil5_pallas: window-spec trap
