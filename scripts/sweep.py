@@ -32,6 +32,7 @@ def main() -> int:
 
     import jax
 
+    import tpusparse
     from tpusparse.cli import cg_solver_multichip, spmv_bench
 
     ndev = jax.device_count()
@@ -51,6 +52,7 @@ def main() -> int:
                  f"--json={args.outdir}/sweep_spmv_{g}.json",
                  f"--csv={args.outdir}/sweep_spmv.csv"]
             )
+            tpusparse.clear_caches()  # drop this grid's device operands before the next
     elif args.kind == "strong":
         sizes = parse_ints(args.sizes, "2048,4096" if not on_cpu else "64")
         chips = [n for n in parse_ints(args.chips, "1,2,4,8") if n <= ndev]
@@ -63,6 +65,7 @@ def main() -> int:
                      f"--json={args.outdir}/sweep_strong_{g}_{n}chip.json",
                      f"--csv={args.outdir}/sweep_strong.csv"]
                 )
+                tpusparse.clear_caches()  # drop this point's device operands
     else:  # weak
         default = "1:1024,2:1448,4:2048,8:2896" if not on_cpu else "1:32,2:48,4:64,8:96"
         pairs = [(int(a), int(b)) for a, b in
@@ -78,6 +81,7 @@ def main() -> int:
                  f"--json={args.outdir}/sweep_weak_{n}chip_{g}.json",
                  f"--csv={args.outdir}/sweep_weak.csv"]
             )
+            tpusparse.clear_caches()  # drop this point's device operands
     return rc
 
 

@@ -70,11 +70,23 @@ def bytes_dia(rows: int, ndiag: int, itemsize: int) -> int:
 
 def _bytes_ell_op(op, itemsize):
     """Actual ELL traffic: every padded slot's value + its int32 index + x read + y write
-    (covers both the (rows, width) XLA layout and the Pallas kernel's blocked layout)."""
-    val = (op._buffers or {}).get("val")
-    if val is not None:
-        return int(val.size) * (itemsize + 4) + 2 * op.num_rows * itemsize
-    return bytes_csr(op.nnz, op.num_rows, itemsize)
+    (covers both the (rows, width) XLA layout and the Pallas kernel's blocked layout).
+
+    The Pallas gather kernel additionally DMAs a slot WINDOW of x per (block, slot) —
+    nb·width·swin·128 elements per apply, often exceeding the single counted x read.  When
+    the operator carries the packed window geometry (swin/nb/width in _buffers), that
+    measured traffic REPLACES the naive one-x-read term so csr-mode bandwidth and roofline
+    fractions are computed from what the kernel actually moves."""
+    buf = op._buffers or {}
+    val = buf.get("val")
+    if val is None:
+        return bytes_csr(op.nnz, op.num_rows, itemsize)
+    nbytes = int(val.size) * (itemsize + 4) + op.num_rows * itemsize  # val+loc+y
+    if all(k in buf for k in ("swin", "nb", "width")):
+        nbytes += buf["nb"] * buf["width"] * buf["swin"] * 128 * itemsize
+    else:
+        nbytes += op.num_rows * itemsize  # XLA layout: one x read
+    return nbytes
 
 
 def _bytes_dia_op(op, itemsize):

@@ -109,8 +109,10 @@ def pack_gather_ell(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: int, dty
     1 − ``max_overflow_frac`` of entries needs more than ``span_limit`` passes, the
     matrix defeats windowing and GatherPackError is raised (→ XLA gather fallback)."""
     n, width = ell_col.shape
-    if width == 0:
-        raise GatherPackError("empty matrix (ELL width 0)")
+    if width == 0 or n == 0:
+        # n == 0 must be guarded alongside width == 0: the block-tail padding below
+        # indexes ell_col[n - 1], which on an empty array is ell_col[-1] → IndexError
+        raise GatherPackError("empty matrix (no rows or ELL width 0)")
     rb = block_subtiles * SUBTILE_ROWS
     nb = -(-n // rb)
     nsub = block_subtiles

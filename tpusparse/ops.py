@@ -350,6 +350,15 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
     from .kernels import gather_ell as _gell
 
     dtype = dtype or _default_dtype()
+    if dtype == jnp.float64 and not _is_cpu():
+        # Mosaic cannot compile f64 Pallas kernels (TPU f64 is XLA-emulated); the pack-time
+        # GatherPackError seam would not catch this — the failure surfaces at compile/run.
+        # Route loudly to the XLA gather path, same contract, f64-capable.
+        import sys as _sys
+
+        print("[tpusparse] f64 Pallas gather does not compile on TPU; "
+              "using the XLA gather path (csr-xla)", file=_sys.stderr)
+        return _init_ell_xla(mat, dtype=dtype)
     csr = _as_csr(mat)
     ell = formats.csr_to_ell(csr)
     try:
@@ -383,7 +392,8 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
         grid_size=csr.grid_size,
         _buffers={"loc": packed.loc, "val": packed.vals, "dtype": dtype,
-                  "span": packed.span, "swin": packed.swin},
+                  "span": packed.span, "swin": packed.swin,
+                  "nb": packed.nb, "width": packed.width},
         operands=operands, run_device_op=run_device_op,
         run_device_dot_op=run_device_dot_op,
     )

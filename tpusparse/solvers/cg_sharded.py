@@ -164,6 +164,46 @@ class ShardedOperator:
 
 
 _OPERATOR_CACHE = {}
+# Sharded coefficient planes, keyed ONLY on what they depend on (mesh/grid/mode-family/
+# coefficients/dtype) — NOT on solver config.  Operator/solver cache entries for different
+# (overlap, tol, max_iters) configurations all share ONE device planes array, so config
+# sweeps never pin duplicate multi-GB planes in HBM (round-2 advisory).
+_PLANES_CACHE = {}
+
+
+def clear_caches() -> None:
+    """Drop every sharded-solver cache: compiled solves, operators, and the sharded planes.
+
+    The compiled solves are cheap host objects, but operator/planes entries pin device HBM
+    (a 20480² f32 planes array is 8.4 GB).  Sweeps over grid sizes MUST call this between
+    points (``tpusparse.clear_caches()`` clears this and the single-chip solver cache) or
+    every visited grid's operands accumulate for the process lifetime."""
+    _OPERATOR_CACHE.clear()
+    _PLANES_CACHE.clear()
+    _SOLVER_CACHE.clear()
+    _SOLVER2D_CACHE.clear()
+
+
+def _sharded_planes(mesh: Mesh, g: int, coeff_dtype, diag, offdiag, pad: int, pspec):
+    """Synthesize + shard the (5, g(+pad), g) coefficient planes, cached (see above)."""
+    key = (mesh, g, str(coeff_dtype), diag, offdiag, pad, pspec)
+    planes = _PLANES_CACHE.get(key)
+    if planes is None:
+        from ..generate import make_stencil5_planes_device
+
+        planes = make_stencil5_planes_device(g, diag, offdiag, dtype=jnp.float32
+                                             if coeff_dtype == jnp.bfloat16 else coeff_dtype)
+        if coeff_dtype == jnp.bfloat16:
+            # bf16 coefficient storage (see ops._init_stencil5): halves plane traffic;
+            # bit-identical when the field is exactly representable (5/-1/0 is)
+            planes = jnp.asarray(planes, jnp.bfloat16)
+        if pad:
+            planes = jnp.concatenate(
+                [planes, jnp.zeros((5, pad, g), planes.dtype)], axis=1
+            )
+        planes = jax.device_put(planes, NamedSharding(mesh, pspec))
+        _PLANES_CACHE[key] = planes
+    return planes
 
 
 def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
@@ -198,21 +238,19 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
               f"rows → falling back to values-carrying stencil5", file=_sys.stderr)
         mode = "stencil5"
     if mode in ("stencil5", "stencil5-bf16c"):
+        coeff_dtype = jnp.bfloat16 if mode == "stencil5-bf16c" else dtype
         if planes is None:
-            from ..generate import make_stencil5_planes_device
-
-            planes = make_stencil5_planes_device(g, diag, offdiag, dtype=dtype)
-        if mode == "stencil5-bf16c":
-            # bf16 coefficient storage (see ops._init_stencil5): halves plane traffic;
-            # bit-identical when the field is exactly representable (5/-1/0 is)
-            planes = jnp.asarray(planes, jnp.bfloat16)
-        if pad:
-            planes = jnp.concatenate(
-                [planes, jnp.zeros((5, pad, g), planes.dtype)], axis=1
+            planes = _sharded_planes(mesh, g, coeff_dtype, diag, offdiag, pad,
+                                     P(None, "x", None))
+        else:
+            planes = jnp.asarray(planes, coeff_dtype)
+            if pad:
+                planes = jnp.concatenate(
+                    [planes, jnp.zeros((5, pad, g), planes.dtype)], axis=1
+                )
+            planes = jax.device_put(
+                planes, NamedSharding(mesh, P(None, "x", None))
             )
-        planes = jax.device_put(
-            planes, NamedSharding(mesh, P(None, "x", None))
-        )
     elif mode != "stencil5-const":
         raise ValueError(
             f"sharded CG supports stencil5/stencil5-bf16c/stencil5-const, got {mode}")
@@ -603,13 +641,10 @@ def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, 
     nr, nc = (int(mesh.shape[ax_r]), int(mesh.shape[ax_c]))
     has_planes = mode in ("stencil5", "stencil5-bf16c")
     if has_planes:
-        from ..generate import make_stencil5_planes_device
-
-        planes = make_stencil5_planes_device(g, diag, offdiag, dtype=dtype)
-        if mode == "stencil5-bf16c":
-            planes = jnp.asarray(planes, jnp.bfloat16)
-        planes = jax.device_put(planes, NamedSharding(mesh, P(None, ax_r, ax_c)))
+        coeff_dtype = jnp.bfloat16 if mode == "stencil5-bf16c" else dtype
         pspec = P(None, ax_r, ax_c)
+        # the planes cache is shared with the 1-D path: keyed on content, not solver config
+        planes = _sharded_planes(mesh, g, coeff_dtype, diag, offdiag, 0, pspec)
     else:
         planes = jnp.zeros((), dtype)
         pspec = P()
