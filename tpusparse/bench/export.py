@@ -103,6 +103,13 @@ def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
         "halo_ms": getattr(cg_stats, "halo_time_ms", 0.0),
         "allreduce_ms": getattr(cg_stats, "allreduce_time_ms", 0.0),
     }
+    # stepped runs: the measured per-call dispatch floors ALREADY subtracted from the
+    # phase buckets above (bench.probes.dispatch_baselines) — recorded so the artifact
+    # is self-describing about the correction
+    if getattr(cg_stats, "dispatch_block_ms", 0.0) or getattr(
+            cg_stats, "dispatch_readback_ms", 0.0):
+        timing["dispatch_block_ms_per_call"] = cg_stats.dispatch_block_ms
+        timing["dispatch_readback_ms_per_call"] = cg_stats.dispatch_readback_ms
     if extra_timing:
         timing.update(extra_timing)
     return {

@@ -93,6 +93,44 @@ def slope_seconds(t_lo: float, t_hi: float, k_lo: int, k_hi: int) -> float:
     return slope
 
 
+_DISPATCH_CACHE: Dict[str, tuple] = {}
+
+
+def dispatch_baselines(reps: int = 40, refresh: bool = False) -> tuple:
+    """Measured per-call dispatch floors for the STEPPED solvers' timer correction:
+
+      ``block_ms``    — launch one trivial jitted program + ``jax.block_until_ready``
+                        (the sync pattern of the halo/spmv/blas1 phase buckets)
+      ``readback_ms`` — same launch + a ``float()`` scalar readback (the pattern of the
+                        dot/allreduce buckets; includes the device→host round trip,
+                        ~25 ms on tunneled deployments)
+
+    A de-fused phase program measures dispatch + work; on fast collectives (a 2-row
+    ppermute is microseconds) the bucket is ~100% dispatch.  Subtracting these medians
+    (paired-differencing discipline, same idea as the chain-slope protocol) turns the
+    buckets into estimates of the work itself.  Medians, not mins: the correction must
+    model the TYPICAL per-call cost paid inside the loop.  Cached per backend."""
+    key = jax.default_backend()
+    if not refresh and key in _DISPATCH_CACHE:
+        return _DISPATCH_CACHE[key]
+    f = jax.jit(lambda s: s + 1.0)
+    x = jnp.zeros(())
+    float(f(x))  # compile + warm
+    blocks, reads = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        blocks.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(f(x))
+        reads.append(time.perf_counter() - t0)
+    blocks.sort()
+    reads.sort()
+    out = (blocks[reps // 2] * 1e3, reads[reps // 2] * 1e3)
+    _DISPATCH_CACHE[key] = out
+    return out
+
+
 def measure_probe_slope(make_probe, args, bytes_per_pass: int,
                         k_lo: int = 6, k_hi: int = 24, reps: int = 3) -> float:
     """GB/s from the paired-iteration slope of one probe."""

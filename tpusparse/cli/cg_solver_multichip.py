@@ -27,10 +27,13 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(prog="cg_solver_multichip", description=__doc__)
-    p.add_argument("matrix", help="gen:<grid_size> (sharded operands are synthesized)")
+    p.add_argument("matrix",
+                   help=".mtx path (5-point-stencil-extractable, like the reference's "
+                        "mgpu binary) or gen:<grid_size> (operands synthesized directly "
+                        "into their sharded layout)")
     p.add_argument("--chips", type=int, default=0, help="devices to use (default: all)")
     p.add_argument("--mode", default="stencil5",
-                   choices=["stencil5", "stencil5-bf16c", "stencil5-const"])
+                   choices=["stencil5", "stencil5-bf16c", "stencil5-const", "csr"])
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--maxiter", type=int, default=1000)
     p.add_argument("--json", default=None)
@@ -67,14 +70,54 @@ def main(argv=None) -> int:
     from ..dist import make_band_mesh
     from ..solvers import cg_sharded
 
-    if not args.matrix.startswith("gen:"):
-        print("[ERROR] multichip solver takes gen:<grid_size> operands", file=sys.stderr)
-        return 2
-    g = int(args.matrix[4:])
+    # Operand source — the reference's flagship workflow is `mpirun cg_solver_mgpu_stencil
+    # <matrix.mtx>` (src/main/cg_solver_mgpu_stencil.cu:50-60, every rank loads the file);
+    # here ONE process loads it and shards the extracted operand over the mesh.
+    planes = None          # values-carrying (5, g, g) host planes from a file
+    matrix = None          # CSR for the generic "csr" mode from a file
+    const_coeffs = None    # (diag, offdiag) when the file's coefficients are uniform
+    matrix_name = None
+    if args.matrix.startswith("gen:"):
+        g = int(args.matrix[4:])
+    else:
+        from .. import formats
+        from .spmv_bench import load_operand
+
+        mat, matrix_name = load_operand(args.matrix)
+        if args.mode == "csr":
+            # generic mode: any g²×g² matrix with ≤ one-grid-row column reach
+            matrix = mat
+            g = mat.grid_size
+            if g <= 0:
+                import math
+
+                g = int(math.isqrt(mat.num_rows))
+            if g * g != mat.num_rows:
+                print(f"[ERROR] {args.matrix}: {mat.num_rows} rows is not a g² square",
+                      file=sys.stderr)
+                return 2
+        else:
+            try:
+                st = formats.csr_to_stencil5(mat)
+            except ValueError as e:
+                print(f"[ERROR] {args.matrix} is not 5-point-stencil-extractable ({e}); "
+                      "use --mode=csr for generic banded matrices", file=sys.stderr)
+                return 2
+            g = st.grid_size
+            const_coeffs = st.constant
+            if args.mode in ("stencil5", "stencil5-bf16c"):
+                planes = st.planes
+            elif const_coeffs is None:  # stencil5-const needs uniform coefficients
+                print(f"[ERROR] {args.matrix} has non-uniform coefficients; "
+                      "stencil5-const requires a constant field (use --mode=stencil5)",
+                      file=sys.stderr)
+                return 2
+    matrix_name = matrix_name or f"stencil5-{g}x{g}"
     mesh2d = None
     if args.mesh2d:
-        if args.timers:
-            print("[ERROR] --timers is a 1-D-solver mode (use it without --mesh2d)",
+        if args.mode == "csr":
+            print("[ERROR] the generic csr mode is 1-D row-band only (reference parity: "
+                  "its comparison kernel lives in the 1-D partitioned solver)",
                   file=sys.stderr)
             return 2
         try:
@@ -104,22 +147,34 @@ def main(argv=None) -> int:
         jnp.float64 if info["backend"] == "cpu" and info["x64_enabled"] else jnp.float32
     )
 
+    diag, offdiag = const_coeffs if const_coeffs is not None else (5.0, -1.0)
+    op = None
+    if not mesh2d:
+        # build the sharded operand ONCE, outside the benchmark loop (and reuse it for the
+        # export metadata below) — file-loaded operands are uncached by design
+        op = cg_sharded.make_sharded_operator(
+            mesh, g, mode=args.mode, planes=planes, matrix=matrix,
+            diag=diag, offdiag=offdiag, dtype=dtype,
+        )
+
     def run_solve():
         t0 = time.perf_counter()
         if mesh2d:
-            x, st = cg_sharded.cg_solve_sharded_2d(
-                mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
-                dtype=dtype,
+            solve2d = (cg_sharded.cg_solve_sharded_2d_stepped if args.timers
+                       else cg_sharded.cg_solve_sharded_2d)
+            x, st = solve2d(
+                mesh, g, mode=args.mode, planes=planes, diag=diag, offdiag=offdiag,
+                tolerance=args.tol, max_iters=args.maxiter, dtype=dtype,
             )
         elif args.timers:
             x, st = cg_sharded.cg_solve_sharded_stepped(
-                mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
-                dtype=dtype,
+                mesh, g, tolerance=args.tol, max_iters=args.maxiter,
+                dtype=dtype, operator=op,
             )
         else:
             x, st = cg_sharded.cg_solve_sharded(
-                mesh, g, mode=args.mode, tolerance=args.tol, max_iters=args.maxiter,
-                dtype=dtype,
+                mesh, g, tolerance=args.tol, max_iters=args.maxiter,
+                dtype=dtype, operator=op,
             )
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
@@ -127,6 +182,19 @@ def main(argv=None) -> int:
     bench, (x, cg_stats) = stats.benchmark_solver_with_stats(
         run_solve, num_runs=args.runs, warmup=args.warmup
     )
+
+    # MEASURED multi-process rank timing (reference MPI_Barrier → solve → MPI_Reduce
+    # MAX/MIN of rank timers, cg_solver_mgpu_partitioned.cu:405, 749-800): one extra
+    # barrier-aligned solve, host durations allgathered across processes.  None (and the
+    # structural lockstep argument) in single-process runs.
+    rank_times = None
+    if jax.process_count() > 1:
+        from ..dist import barrier, rank_time_stats
+
+        barrier("tpusparse:rank_timing_start")
+        t_rank = time.perf_counter()
+        run_solve()
+        rank_times = rank_time_stats(time.perf_counter() - t_rank)
 
     if args.trace:
         from ..bench import profiling
@@ -146,16 +214,22 @@ def main(argv=None) -> int:
             print("Load imbalance:      0.00% (2-D blocks require exact divisibility; "
                   "SPMD lockstep)")
     else:
-        op = cg_sharded.make_sharded_operator(mesh, g, mode=args.mode, dtype=dtype)
         if is_primary:
             # Load-imbalance report, printed always (reference cg_solver_mgpu_partitioned
-            # .cu:758-773 MAX/MIN rank-timer reduction).  Under single-process SPMD every
-            # shard runs ONE fused program in lockstep, so the only imbalance source is the
-            # row-padding remainder; report that bound instead of redundant per-shard timers.
-            band = (g + op.row_pad) // nchips
-            imbalance = 100.0 * op.row_pad / band if band else 0.0
-            print(f"Load imbalance:      {imbalance:.2f}% "
-                  f"(row padding {op.row_pad} of band {band}; SPMD lockstep otherwise)")
+            # .cu:758-773 MAX/MIN rank-timer reduction).  Multi-process runs print the
+            # MEASURED barrier-aligned per-process skew; single-process SPMD runs ONE
+            # fused program in lockstep, so the only imbalance source is the row-padding
+            # remainder — report that bound instead of redundant per-shard timers.
+            if rank_times is not None:
+                print(f"Load imbalance:      {rank_times['load_imbalance_pct']:.2f}% "
+                      f"(measured: max {rank_times['solve_time_max_ms']:.2f} / min "
+                      f"{rank_times['solve_time_min_ms']:.2f} ms across "
+                      f"{jax.process_count()} processes)")
+            else:
+                band = (g + op.row_pad) // nchips
+                imbalance = 100.0 * op.row_pad / band if band else 0.0
+                print(f"Load imbalance:      {imbalance:.2f}% "
+                      f"(row padding {op.row_pad} of band {band}; SPMD lockstep otherwise)")
     from ..dist import gather_to_host
 
     # multi-process arrays are not fully addressable: the gather helper handles both cases
@@ -179,12 +253,15 @@ def main(argv=None) -> int:
         # carrying stencil5 and the record must say what actually ran
         solver=(f"tpusparse-cg-sharded2d-{mesh2d[0]}x{mesh2d[1]}" if mesh2d
                 else f"tpusparse-cg-sharded-{nchips}chip"), mode=op.mode,
-        matrix_name=f"stencil5-{g}x{g}", op=op, cg_stats=cg_stats, bench_stats=bench,
+        matrix_name=matrix_name, op=op, cg_stats=cg_stats, bench_stats=bench,
         sysinfo=info, sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
         gflops_spmv=gfl,
         extra_timing={"num_chips": nchips,
                       **({"allgather_ms": allgather_ms}
-                         if allgather_ms is not None else {})},
+                         if allgather_ms is not None else {}),
+                      # measured cross-process MAX/MIN + imbalance (reference
+                      # CGStatsMultiGPU :749-800); absent in single-process runs
+                      **(rank_times or {})},
     )
     if is_primary:
         export.print_human_cg(result)

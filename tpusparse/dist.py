@@ -90,6 +90,44 @@ def gather_to_host(x, rows: int = 0):
     return out[:rows] if rows else out
 
 
+def barrier(name: str = "tpusparse:barrier") -> None:
+    """Cross-process barrier — the reference's MPI_Barrier-before-timing
+    (cg_solver_mgpu_partitioned.cu:405).  No-op in single-process runs."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def rank_time_stats(duration_s: float) -> Optional[dict]:
+    """MEASURED multi-process timing discipline (SURVEY §7; reference
+    cg_solver_mgpu_partitioned.cu:749-800): allgather each process's host-measured solve
+    wall time, reduce MAX (the bottleneck rank) and MIN, and report the load-imbalance %
+    — (max − min)/max, the reference's formula (:758-773).
+
+    Call with a duration measured after :func:`barrier` so the start edge is aligned
+    (the reference's MPI_Barrier-then-start protocol).  Returns None in single-process
+    runs: under single-process SPMD every shard executes one fused program in lockstep,
+    so per-process skew does not exist — the structural argument applies there and a
+    fabricated 0-measurement would be noise.  In multi-process (1 process per host) runs
+    skew is real and this MEASURES it."""
+    if jax.process_count() <= 1:
+        return None
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    per = np.asarray(
+        multihost_utils.process_allgather(np.asarray([duration_s], np.float64))
+    ).ravel() * 1e3
+    mx, mn = float(per.max()), float(per.min())
+    return {
+        "solve_time_max_ms": mx,
+        "solve_time_min_ms": mn,
+        "load_imbalance_pct": 100.0 * (mx - mn) / mx if mx > 0 else 0.0,
+        "per_process_ms": [round(float(v), 3) for v in per],
+    }
+
+
 def env_flag(name: str, default: bool = False) -> bool:
     v = os.environ.get(name)
     return default if v is None else v not in ("0", "false", "False", "")

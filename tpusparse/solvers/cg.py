@@ -63,6 +63,11 @@ class CGStats:
     reduction_time_ms: float = 0.0
     halo_time_ms: float = 0.0
     allreduce_time_ms: float = 0.0
+    # stepped-solver dispatch correction (bench.probes.dispatch_baselines): the per-call
+    # launch/readback floors SUBTRACTED from the phase buckets above, so they estimate
+    # the work (communication/compute) rather than launch overhead.  Zero in fused runs.
+    dispatch_block_ms: float = 0.0
+    dispatch_readback_ms: float = 0.0
 
 
 def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,

@@ -60,12 +60,19 @@ def _band_halo_exchange(field_block, axis_name: str, axis_size: int):
 
 @dataclasses.dataclass
 class ShardedOperator:
-    """Row-band sharded STENCIL5 operator: the sharded analog of ops.DeviceOperator."""
+    """Row-band sharded operator: the sharded analog of ops.DeviceOperator.
+
+    Modes: the three stencil flavors (Pallas row-halo kernels), plus ``"csr"`` — a
+    GENERIC band-local ELL-gather kernel, the analog of the textbook CSR kernel the
+    reference carries inside its partitioned solver for comparison
+    (cg_solver_mgpu_partitioned.cu:40-56).  Like the reference's partitioned kernels it
+    requires every column within one grid-row of its row (halo reach); arbitrary banded
+    matrices with bandwidth ≤ g qualify, not just stencils."""
 
     mesh: Mesh
     grid_size: int
-    mode: str  # "stencil5" | "stencil5-const"
-    planes: Optional[jax.Array]  # (5, g, g), row-band sharded; None for const mode
+    mode: str  # "stencil5" | "stencil5-bf16c" | "stencil5-const" | "csr"
+    planes: Optional[jax.Array]  # (5, g, g), row-band sharded; None for const/csr modes
     diag: float
     offdiag: float
     dtype: object
@@ -73,6 +80,8 @@ class ShardedOperator:
 
     @property
     def nnz(self) -> int:
+        if self.nnz_actual:
+            return self.nnz_actual
         from ..generate import stencil5_nnz
 
         return stencil5_nnz(self.grid_size)
@@ -85,27 +94,78 @@ class ShardedOperator:
     name = property(lambda self: self.mode)
 
     overlap: bool = True
+    # "csr" mode operands: ((g+pad)·g, W) ELL columns/values, row-sharded P("x", None)
+    ell_cols: Optional[jax.Array] = None
+    ell_vals: Optional[jax.Array] = None
+    nnz_actual: int = 0  # real nnz for file-loaded matrices (0 → stencil5 formula)
 
-    def local_spmv(self, planes_l, p_l, hp, hn):
+    @property
+    def has_planes(self) -> bool:
+        return self.mode in ("stencil5", "stencil5-bf16c")
+
+    @property
+    def operand_spec(self):
+        """shard_map in_spec pytree matching ``operands_arg``."""
+        if self.has_planes:
+            return P(None, "x", None)
+        if self.mode == "csr":
+            return (P("x", None), P("x", None))
+        return P()
+
+    @property
+    def operands_arg(self):
+        """The device operand pytree the jitted solve takes as a runtime argument."""
+        if self.has_planes:
+            return self.planes
+        if self.mode == "csr":
+            return (self.ell_cols, self.ell_vals)
+        return jnp.zeros((), self.dtype)
+
+    def _ell_band_spmv(self, cols_l, vals_l, p_l, hp, hn):
+        """Generic band-local gather SpMV: the reference's comparison CSR kernel, TPU-style.
+
+        The gatherable domain is [halo_prev; local band; halo_next] flattened; global
+        column c maps to local index c − (row_offset − g).  Columns outside the domain are
+        masked to zero via ``jnp.where`` (they only occur for padded slots whose value is
+        already zero — the pack validates the reach invariant)."""
+        band_rows, g = p_l.shape
+        xl = jnp.concatenate([hp, p_l, hn], axis=0).reshape(-1)
+        base = jax.lax.axis_index("x") * (band_rows * g) - g
+        loc = cols_l - base
+        valid = jnp.logical_and(loc >= 0, loc < xl.shape[0])
+        gathered = jnp.where(valid, xl[jnp.clip(loc, 0, xl.shape[0] - 1)],
+                             jnp.zeros((), xl.dtype))
+        y = jnp.sum(vals_l * gathered, axis=1)
+        return y.reshape(band_rows, g)
+
+    def local_spmv(self, operands_l, p_l, hp, hn):
         """Local band SpMV with the halo rows PROVIDED — pure per-shard compute, zero
         collectives.  The stepped per-collective timers use this to measure the compute
         phase separately from the halo ppermute and the dot allreduces."""
+        if self.mode == "csr":
+            return self._ell_band_spmv(operands_l[0], operands_l[1], p_l, hp, hn)
         if self.mode == "stencil5-const":
             return spmv_stencil5_const_pallas(p_l, hp, hn, diag=self.diag,
                                               offdiag=self.offdiag)
-        return spmv_stencil5_pipelined(planes_l, p_l, hp, hn)
+        return spmv_stencil5_pipelined(operands_l, p_l, hp, hn)
 
-    def local_spmv_dot(self, planes_l, p_l, axis_name: str, axis_size: int):
+    def local_spmv_dot(self, operands_l, p_l, axis_name: str, axis_size: int):
         """Local band SpMV + global <p, Ap>.  Runs inside shard_map."""
+        if self.mode == "csr":
+            hp, hn = _band_halo_exchange(p_l, axis_name, axis_size)
+            y = self._ell_band_spmv(operands_l[0], operands_l[1], p_l, hp, hn)
+            acc = jnp.float64 if y.dtype == jnp.float64 else jnp.float32
+            pap_local = jnp.vdot(p_l.astype(acc), y.astype(acc))
+            return y, jax.lax.psum(pap_local, axis_name)
         if self.overlap and axis_size > 1 and p_l.shape[0] >= 3:
-            return self._spmv_dot_overlapped(planes_l, p_l, axis_name, axis_size)
+            return self._spmv_dot_overlapped(operands_l, p_l, axis_name, axis_size)
         hp, hn = _band_halo_exchange(p_l, axis_name, axis_size)
         if self.mode == "stencil5-const":
             y, pap_local = spmv_stencil5_const_pallas(
                 p_l, hp, hn, diag=self.diag, offdiag=self.offdiag, with_dot=True
             )
         else:
-            y, pap_local = spmv_stencil5_pipelined(planes_l, p_l, hp, hn, with_dot=True)
+            y, pap_local = spmv_stencil5_pipelined(operands_l, p_l, hp, hn, with_dot=True)
         return y, jax.lax.psum(pap_local, axis_name)
 
     def _spmv_dot_overlapped(self, planes_l, p_l, axis_name: str, axis_size: int):
@@ -206,16 +266,71 @@ def _sharded_planes(mesh: Mesh, g: int, coeff_dtype, diag, offdiag, pad: int, ps
     return planes
 
 
+def _make_sharded_ell_operator(mesh: Mesh, g: int, matrix, diag, offdiag, dtype,
+                               pad: int) -> ShardedOperator:
+    """Pack a matrix into the row-band-sharded ELL operand for the generic "csr" mode.
+
+    Validates the HALO REACH invariant the kernel assumes: every nonzero's column within
+    one grid-row (g) of its row — the same structural contract as the reference's
+    partitioned kernels (their halo buffers are one grid-row per neighbor,
+    cg_solver_mgpu_partitioned.h:10-23)."""
+    import numpy as np
+
+    from .. import formats
+
+    if matrix is None:
+        from ..generate import make_stencil5
+
+        matrix = make_stencil5(g, diag, offdiag, dtype=np.float32)
+    from ..ops import _as_csr
+
+    csr = _as_csr(matrix)
+    n = g * g
+    if csr.num_rows != n or csr.num_cols != n:
+        raise ValueError(
+            f"sharded csr mode needs a g²×g² matrix for the (g, g) field; got "
+            f"{csr.num_rows}x{csr.num_cols} with g={g}")
+    ell = formats.csr_to_ell(csr)
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    reach_bad = (np.abs(ell.col - rows) > g) & (ell.val != 0)
+    if np.any(reach_bad):
+        raise ValueError(
+            "matrix has nonzeros beyond one grid-row of their row — the sharded generic "
+            "kernel's halo reach (one grid-row per neighbor, reference parity) cannot "
+            "cover it; use the single-chip csr operator")
+    cols = ell.col.astype(np.int32)
+    np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
+    vals = ell.val.astype(np_dtype)
+    if pad:
+        # padded rows: zero values, columns pointing at the row itself (always in-domain)
+        prow = np.arange(n, n + pad * g, dtype=np.int32)[:, None]
+        cols = np.concatenate([cols, np.broadcast_to(prow, (pad * g, cols.shape[1]))], 0)
+        vals = np.concatenate([vals, np.zeros((pad * g, vals.shape[1]), np_dtype)], 0)
+    sh = NamedSharding(mesh, P("x", None))
+    return ShardedOperator(
+        mesh=mesh, grid_size=g, mode="csr", planes=None, diag=diag, offdiag=offdiag,
+        dtype=dtype, row_pad=pad, overlap=False,
+        ell_cols=jax.device_put(jnp.asarray(cols), sh),
+        ell_vals=jax.device_put(jnp.asarray(vals), sh),
+        nnz_actual=csr.nnz,
+    )
+
+
 def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
-                          planes=None, diag: float = 5.0, offdiag: float = -1.0,
-                          dtype=jnp.float32, overlap: bool = True) -> ShardedOperator:
+                          planes=None, matrix=None, diag: float = 5.0,
+                          offdiag: float = -1.0, dtype=jnp.float32,
+                          overlap: bool = True) -> ShardedOperator:
     """Build the sharded operand.  For ``mode="stencil5"`` the (5, g, g) coefficient planes are
     synthesized (or accepted) and laid out row-band sharded — the analog of the reference's
     "extract + rebase the local CSR band" (:302-331), except sharding happens at construction
-    (the reference marks that a TODO)."""
+    (the reference marks that a TODO).
+
+    ``mode="csr"``: the generic band-local gather operator.  ``matrix`` (CSRMatrix/COOMatrix/
+    Stencil5, any column reach ≤ one grid-row) supplies the values; None synthesizes the
+    canonical stencil CSR — the reference's in-solver comparison kernel workflow."""
     g = grid_size
     cache_key = None
-    if planes is None:
+    if planes is None and matrix is None:
         # synthesized operands are deterministic: cache so repeated benchmark solves don't
         # re-synthesize + re-shard the (5, g, g) planes inside their timed region.
         # Key on the Mesh OBJECT (hashable, content-compared), never id(mesh): ids of
@@ -226,6 +341,11 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
             return _OPERATOR_CACHE[cache_key]
     naxis = mesh.devices.size
     pad = (-g) % naxis
+    if mode == "csr":
+        op = _make_sharded_ell_operator(mesh, g, matrix, diag, offdiag, dtype, pad)
+        if cache_key is not None:
+            _OPERATOR_CACHE[cache_key] = op
+        return op
     if pad and mode == "stencil5-const":
         # Padded rows need zero coefficients to stay decoupled; only the values-carrying
         # operand can express that, so fall back to it (reference parity: the last rank
@@ -253,7 +373,7 @@ def make_sharded_operator(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
             )
     elif mode != "stencil5-const":
         raise ValueError(
-            f"sharded CG supports stencil5/stencil5-bf16c/stencil5-const, got {mode}")
+            f"sharded CG supports stencil5/stencil5-bf16c/stencil5-const/csr, got {mode}")
     op = ShardedOperator(
         mesh=mesh, grid_size=g, mode=mode, planes=planes, diag=diag, offdiag=offdiag,
         dtype=dtype, overlap=overlap, row_pad=pad,
@@ -277,7 +397,6 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
     mesh = op.mesh
     axis = "x"
     naxis = mesh.devices.size
-    has_planes = op.mode in ("stencil5", "stencil5-bf16c")
     g = op.grid_size
     band = (g + op.row_pad) // naxis
 
@@ -289,13 +408,13 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
         lrow = jnp.arange(band, dtype=jnp.int32)[:, None] + idx * band
         return jnp.broadcast_to((lrow < g).astype(op.dtype), (band, g))
 
-    def local_cg(b_l, planes_l):
+    def local_cg(b_l, operands_l):
         """Runs per shard inside shard_map.  b_l: (band, g) local rows."""
         if synth_b:
             b_l = _local_ones_b()
 
         def spmv_dot(p_l):
-            return op.local_spmv_dot(planes_l, p_l, axis, naxis)
+            return op.local_spmv_dot(operands_l, p_l, axis, naxis)
 
         r0 = b_l  # x0 = 0
         if use_pallas_blas1:
@@ -336,16 +455,16 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
         sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
         return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
-    pspec = P(None, axis, None) if has_planes else P()
+    pspec = op.operand_spec
     if synth_b:
         sharded = jax.shard_map(
-            lambda planes_l: local_cg(None, planes_l), mesh=mesh, in_specs=(pspec,),
+            lambda operands_l: local_cg(None, operands_l), mesh=mesh, in_specs=(pspec,),
             out_specs=(P(axis, None), P()), check_vma=False,
         )
 
         @jax.jit
-        def solve(planes):
-            return sharded(planes)
+        def solve(operands):
+            return sharded(operands)
     else:
         sharded = jax.shard_map(
             local_cg, mesh=mesh, in_specs=(P(axis, None), pspec),
@@ -353,18 +472,19 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
         )
 
         @jax.jit
-        def solve(b, planes):
-            return sharded(b, planes)
+        def solve(b, operands):
+            return sharded(b, operands)
 
     _SOLVER_CACHE[key] = solve
     return solve
 
 
 def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil5-const",
-                     planes=None, diag: float = 5.0, offdiag: float = -1.0,
+                     planes=None, matrix=None, diag: float = 5.0, offdiag: float = -1.0,
                      tolerance: float = 1e-6, max_iters: int = 1000, dtype=jnp.float32,
                      overlap: bool = True, config: Optional[CGConfig] = None,
-                     use_pallas_blas1: Optional[bool] = None):
+                     use_pallas_blas1: Optional[bool] = None,
+                     operator: Optional[ShardedOperator] = None):
     """Full sharded CG solve over the mesh.  Returns (x, CGStats).
 
     ``x`` is the (g, g) solution as a row-band-sharded ``jax.Array`` — EXCEPT when the grid
@@ -372,21 +492,23 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
     row-sharded array is ambiguous for the partitioner, so the tail is dropped host-side and
     ``x`` is returned as a host ``numpy.ndarray`` (multi-process-safe).  Callers doing
     device-side post-processing should ``jax.device_put`` it back or pick g % n_devices == 0.
+
+    ``operator``: a prebuilt ShardedOperator (skips construction — CLI reuse);
+    ``matrix``: values source for ``mode="csr"`` (see make_sharded_operator).
     """
     if config is not None:
         tolerance, max_iters = config.tolerance, config.max_iters
-    op = make_sharded_operator(
-        mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag, dtype=dtype,
-        overlap=overlap,
+    op = operator if operator is not None else make_sharded_operator(
+        mesh, grid_size, mode=mode, planes=planes, matrix=matrix, diag=diag,
+        offdiag=offdiag, dtype=dtype, overlap=overlap,
     )
     synth_b = b is None
     solve = _build_sharded_solver(op, max_iters, float(tolerance),
                                   _resolve_blas1(use_pallas_blas1), synth_b=synth_b)
-    planes_arg = (op.planes if op.mode in ("stencil5", "stencil5-bf16c")
-                  else jnp.zeros((), dtype))
+    operands_arg = op.operands_arg
     if synth_b:
         t0 = time.perf_counter()
-        x, scalars = solve(planes_arg)
+        x, scalars = solve(operands_arg)
     else:
         if op.row_pad:
             b = jnp.concatenate(
@@ -394,7 +516,7 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
             )
         b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P("x", None)))
         t0 = time.perf_counter()
-        x, scalars = solve(b, planes_arg)
+        x, scalars = solve(b, operands_arg)
     rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
     x.block_until_ready()
     total_ms = (time.perf_counter() - t0) * 1e3
@@ -416,11 +538,25 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
     return x, stats
 
 
+def _apply_dispatch_correction(stats: CGStats, n_block_calls: dict, n_read_calls: int,
+                               disp_block: float, disp_read: float) -> None:
+    """Subtract the measured per-call dispatch floors from the stepped phase buckets
+    (floored at 0): the buckets then estimate communication/compute, not launch overhead.
+    The subtracted baselines stay visible in stats.dispatch_{block,readback}_ms."""
+    stats.halo_time_ms = max(0.0, stats.halo_time_ms - n_block_calls["halo"] * disp_block)
+    stats.spmv_time_ms = max(0.0, stats.spmv_time_ms - n_block_calls["spmv"] * disp_block)
+    stats.blas1_time_ms = max(0.0,
+                              stats.blas1_time_ms - n_block_calls["blas1"] * disp_block)
+    stats.allreduce_time_ms = max(0.0, stats.allreduce_time_ms - n_read_calls * disp_read)
+
+
 def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
-                             mode: str = "stencil5", planes=None, diag: float = 5.0,
+                             mode: str = "stencil5", planes=None, matrix=None,
+                             diag: float = 5.0,
                              offdiag: float = -1.0, tolerance: float = 1e-6,
                              max_iters: int = 1000, dtype=jnp.float32,
-                             overlap: bool = True, verbose: int = 0):
+                             overlap: bool = True, verbose: int = 0,
+                             operator: Optional[ShardedOperator] = None):
     """Host-stepped sharded CG with PER-COLLECTIVE wall timing — the multi-chip ``--timers``
     mode, field parity with the reference's CGStatsMultiGPU (cg_solver_mgpu.h:55-67):
 
@@ -440,15 +576,14 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
     every shard executes the same fused program in lockstep, so cross-shard imbalance is
     structurally zero with equal bands; the padded-remainder case is the only source and is
     bounded by pad/band (reported by the CLI)."""
-    op = make_sharded_operator(
-        mesh, grid_size, mode=mode, planes=planes, diag=diag, offdiag=offdiag,
-        dtype=dtype, overlap=overlap,
+    op = operator if operator is not None else make_sharded_operator(
+        mesh, grid_size, mode=mode, planes=planes, matrix=matrix, diag=diag,
+        offdiag=offdiag, dtype=dtype, overlap=overlap,
     )
     axis = "x"
     naxis = mesh.devices.size
-    has_planes = op.mode in ("stencil5", "stencil5-bf16c")
-    pspec = P(None, axis, None) if has_planes else P()
-    planes_arg = op.planes if has_planes else jnp.zeros((), dtype)
+    pspec = op.operand_spec
+    operands_arg = op.operands_arg
 
     band_spec = P(axis, None)
     halo = jax.jit(jax.shard_map(
@@ -484,7 +619,15 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
         b = jnp.concatenate([b.astype(dtype), jnp.zeros((op.row_pad, grid_size), dtype)], 0)
     b = jax.device_put(b.astype(dtype), NamedSharding(mesh, P(axis, None)))
 
-    stats = CGStats()
+    # Dispatch correction (round-2 review): each de-fused phase program pays a launch
+    # (+readback for the dots); on fast collectives the raw bucket is ~100% dispatch.
+    # Measure the floors ONCE (outside the timed solve) and subtract per call below.
+    from ..bench.probes import dispatch_baselines
+
+    disp_block, disp_read = dispatch_baselines()
+    n_block_calls = {"halo": 0, "spmv": 0, "blas1": 0}
+    n_read_calls = 0
+    stats = CGStats(dispatch_block_ms=disp_block, dispatch_readback_ms=disp_read)
     t_solve = time.perf_counter()
     x = jnp.zeros_like(b)
     r = b
@@ -492,6 +635,7 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
     t0 = time.perf_counter()
     rr = float(dot_allreduce(r, r))
     stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
+    n_read_calls += 1
     b_norm = rr ** 0.5
     k = 0
     converged = False
@@ -500,21 +644,26 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
         hp, hn = halo(p)
         jax.block_until_ready(hn)
         stats.halo_time_ms += (time.perf_counter() - t0) * 1e3
+        n_block_calls["halo"] += 1
         t0 = time.perf_counter()
-        ap = spmv_local(planes_arg, p, hp, hn)
+        ap = spmv_local(operands_arg, p, hp, hn)
         jax.block_until_ready(ap)
         stats.spmv_time_ms += (time.perf_counter() - t0) * 1e3
+        n_block_calls["spmv"] += 1
         t0 = time.perf_counter()
         pap = float(dot_allreduce(p, ap))
         stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
+        n_read_calls += 1
         alpha = jnp.asarray(rr / pap, dtype)
         t0 = time.perf_counter()
         x, r = upd_local(alpha, x, r, p, ap)
         jax.block_until_ready(r)
         stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+        n_block_calls["blas1"] += 1
         t0 = time.perf_counter()
         rr_new = float(dot_allreduce(r, r))
         stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
+        n_read_calls += 1
         k += 1
         if verbose >= 2:
             print(f"[CG-SHARDED] Iter {k:3d}: rel = {rr_new ** 0.5 / b_norm:e}")
@@ -525,7 +674,9 @@ def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
             p = pupd(jnp.asarray(rr_new / rr, dtype), r, p)
             jax.block_until_ready(p)
             stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+            n_block_calls["blas1"] += 1
         rr = rr_new
+    _apply_dispatch_correction(stats, n_block_calls, n_read_calls, disp_block, disp_read)
     # this solver's reductions ARE its allreduces — mirror for single-chip field parity
     stats.reduction_time_ms = stats.allreduce_time_ms
     stats.total_time_ms = (time.perf_counter() - t_solve) * 1e3
@@ -581,8 +732,39 @@ def _halo_exchange_2d(xb, ax_r: str, nr: int, ax_c: str, nc: int):
 _SOLVER2D_CACHE = {}
 
 
+def _check_2d_mesh(mesh: Mesh, g: int, mode: str):
+    """Shared 2-D validation: a 2-axis mesh whose extents divide the grid exactly
+    (2-D padding is not implemented — the error says what to use instead)."""
+    if len(mesh.axis_names) != 2:
+        raise ValueError(f"2-D solver needs a 2-axis mesh, got axes {mesh.axis_names}")
+    ax_r, ax_c = mesh.axis_names
+    nr, nc = (int(mesh.shape[ax_r]), int(mesh.shape[ax_c]))
+    if g % nr or g % nc:
+        raise ValueError(
+            f"grid {g} must divide the mesh extents ({nr}, {nc}); "
+            "use cg_solve_sharded (1-D, pads remainders) otherwise")
+    if mode not in ("stencil5", "stencil5-bf16c", "stencil5-const"):
+        raise ValueError(f"2-D solver supports the stencil modes, got {mode}")
+    return ax_r, ax_c, nr, nc
+
+
+def _shard_2d_planes(mesh, mode, planes, g, diag, offdiag, dtype):
+    """Sharded (5, g, g) planes for the 2-D block decomposition: from the content-keyed
+    cache when synthesized, or an uncached device_put of caller-provided (file) planes."""
+    ax_r, ax_c = mesh.axis_names
+    if mode == "stencil5-const":
+        return jnp.zeros((), dtype), P()
+    coeff_dtype = jnp.bfloat16 if mode == "stencil5-bf16c" else dtype
+    pspec = P(None, ax_r, ax_c)
+    if planes is None:
+        return _sharded_planes(mesh, g, coeff_dtype, diag, offdiag, 0, pspec), pspec
+    planes = jax.device_put(jnp.asarray(planes, coeff_dtype),
+                            NamedSharding(mesh, pspec))
+    return planes, pspec
+
+
 def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
-                        diag: float = 5.0, offdiag: float = -1.0,
+                        planes=None, diag: float = 5.0, offdiag: float = -1.0,
                         tolerance: float = 1e-6, max_iters: int = 1000,
                         dtype=jnp.float32, b=None, overlap: bool = True):
     """CG over a 2-D (Px, Py) device mesh — block decomposition (see section comment).
@@ -593,7 +775,9 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     core covers rows [1, rows−1) with LOCAL halo rows, so it has no data dependency on
     any of the four ppermutes — XLA can run all halo traffic under the core compute;
     only the two boundary rows and the two column-edge corrections consume halos.
-    Returns (x block-sharded (g, g), CGStats).
+    ``b``: optional (g, g) right-hand side (None → b = ones synthesized in-graph, the
+    canonical protocol); ``planes``: optional host (5, g, g) coefficient planes (file
+    operands).  Returns (x block-sharded (g, g), CGStats).
 
     The compiled solve and the sharded planes are cached per (mesh, problem, config) —
     Mesh hashes by content — so repeated benchmark solves measure the solve, never
@@ -601,28 +785,24 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     (the measured TPU default; the 1-D path carries the Pallas variants for CPU kernel
     coverage) and every dot accumulates in ≥f32 regardless of the field dtype (a bf16
     ⟨p,Ap⟩ would corrupt α/β — same rule as blas1._acc_dtype)."""
-    if b is not None:
-        raise NotImplementedError("2-D solver synthesizes b = ones in-graph (pass b=None)")
-    if len(mesh.axis_names) != 2:
-        raise ValueError(f"2-D solver needs a 2-axis mesh, got axes {mesh.axis_names}")
-    ax_r, ax_c = mesh.axis_names
-    nr, nc = (int(mesh.shape[ax_r]), int(mesh.shape[ax_c]))
+    ax_r, ax_c, nr, nc = _check_2d_mesh(mesh, grid_size, mode)
     g = grid_size
-    if g % nr or g % nc:
-        raise ValueError(
-            f"grid {g} must divide the mesh extents ({nr}, {nc}); "
-            "use cg_solve_sharded (1-D, pads remainders) otherwise")
-    if mode not in ("stencil5", "stencil5-bf16c", "stencil5-const"):
-        raise ValueError(f"2-D solver supports the stencil modes, got {mode}")
-    key = (mesh, g, mode, diag, offdiag, str(dtype), float(tolerance), max_iters, overlap)
-    if key in _SOLVER2D_CACHE:
-        solve, planes = _SOLVER2D_CACHE[key]
+    synth_b = b is None
+    planes_arg, pspec = _shard_2d_planes(mesh, mode, planes, g, diag, offdiag, dtype)
+    key = (mesh, g, mode, diag, offdiag, str(dtype), float(tolerance), max_iters,
+           overlap, synth_b)
+    solve = _SOLVER2D_CACHE.get(key)
+    if solve is None:
+        solve = _build_2d_solver(mesh, g, mode, diag, offdiag, float(tolerance),
+                                 max_iters, dtype, overlap, pspec, synth_b)
+        _SOLVER2D_CACHE[key] = solve
+    if synth_b:
+        t0 = time.perf_counter()
+        x, scalars = solve(planes_arg)
     else:
-        solve, planes = _build_2d_solver(mesh, g, mode, diag, offdiag, float(tolerance),
-                                         max_iters, dtype, overlap)
-        _SOLVER2D_CACHE[key] = (solve, planes)
-    t0 = time.perf_counter()
-    x, scalars = solve(planes)
+        b = jax.device_put(jnp.asarray(b, dtype), NamedSharding(mesh, P(ax_r, ax_c)))
+        t0 = time.perf_counter()
+        x, scalars = solve(b, planes_arg)
     rr, k_f, b_norm = (float(v) for v in jax.device_get(scalars))
     x.block_until_ready()
     total_ms = (time.perf_counter() - t0) * 1e3
@@ -636,18 +816,127 @@ def cg_solve_sharded_2d(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
     )
 
 
-def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, overlap):
+def cg_solve_sharded_2d_stepped(mesh: Mesh, grid_size: int, *, mode: str = "stencil5",
+                                planes=None, diag: float = 5.0, offdiag: float = -1.0,
+                                tolerance: float = 1e-6, max_iters: int = 1000,
+                                dtype=jnp.float32, b=None, overlap: bool = True,
+                                verbose: int = 0):
+    """Host-stepped 2-D CG with per-collective wall timing — the ``--timers`` mode for the
+    2-D block decomposition (same bucket semantics as ``cg_solve_sharded_stepped``; the
+    halo bucket here times all FOUR ppermutes — two row + two column edges).  Dispatch
+    floors are measured and subtracted (``_apply_dispatch_correction``)."""
+    ax_r, ax_c, nr, nc = _check_2d_mesh(mesh, grid_size, mode)
+    g = grid_size
+    planes_arg, pspec = _shard_2d_planes(mesh, mode, planes, g, diag, offdiag, dtype)
+    block_spec = P(ax_r, ax_c)
+    acc_dt = jnp.float64 if dtype == jnp.float64 else jnp.float32
+    from ..formats import E as _E, W as _W
+
+    def _apply(planes_l, p_l, hp, hn, hw, he):
+        """Collective-free local block apply: halos PROVIDED (the sync-path math)."""
+        if mode == "stencil5-const":
+            y = spmv_stencil5_const_pallas(p_l, hp, hn, diag=diag, offdiag=offdiag)
+            dw, de = offdiag * hw, offdiag * he
+        else:
+            y = spmv_stencil5_pipelined(planes_l, p_l, hp, hn)
+            wcol = planes_l[_W, :, :1].astype(p_l.dtype)
+            ecol = planes_l[_E, :, -1:].astype(p_l.dtype)
+            dw = wcol * (hw - p_l[:, :1])
+            de = ecol * (he - p_l[:, -1:])
+        return y.at[:, :1].add(dw).at[:, -1:].add(de)
+
+    halo = jax.jit(jax.shard_map(
+        lambda v: _halo_exchange_2d(v, ax_r, nr, ax_c, nc),
+        mesh=mesh, in_specs=(block_spec,), out_specs=(block_spec,) * 4,
+        check_vma=False,
+    ))
+    spmv_local = jax.jit(jax.shard_map(
+        _apply, mesh=mesh, in_specs=(pspec,) + (block_spec,) * 5,
+        out_specs=block_spec, check_vma=False,
+    ))
+    dot_allreduce = jax.jit(jax.shard_map(
+        lambda al, bl: jax.lax.psum(
+            jnp.vdot(al.astype(acc_dt), bl.astype(acc_dt)), (ax_r, ax_c)),
+        mesh=mesh, in_specs=(block_spec, block_spec), out_specs=P(),
+        check_vma=False,
+    ))
+    # elementwise updates: plain jit — XLA keeps the block sharding, no shard_map needed
+    upd_local = jax.jit(lambda alpha, xl, rl, pl_, apl: (xl + alpha * pl_,
+                                                         rl - alpha * apl))
+    pupd = jax.jit(lambda beta, rl, pl_: rl + beta * pl_)
+
+    if b is None:
+        b = jnp.ones((g, g), dtype)
+    b = jax.device_put(jnp.asarray(b, dtype), NamedSharding(mesh, block_spec))
+
+    from ..bench.probes import dispatch_baselines
+
+    disp_block, disp_read = dispatch_baselines()
+    n_block_calls = {"halo": 0, "spmv": 0, "blas1": 0}
+    n_read_calls = 0
+    stats = CGStats(dispatch_block_ms=disp_block, dispatch_readback_ms=disp_read)
+    t_solve = time.perf_counter()
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    t0 = time.perf_counter()
+    rr = float(dot_allreduce(r, r))
+    stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
+    n_read_calls += 1
+    b_norm = rr ** 0.5
+    k = 0
+    converged = False
+    while k < max_iters and not converged:
+        t0 = time.perf_counter()
+        hp, hn, hw, he = halo(p)
+        jax.block_until_ready(he)
+        stats.halo_time_ms += (time.perf_counter() - t0) * 1e3
+        n_block_calls["halo"] += 1
+        t0 = time.perf_counter()
+        ap = spmv_local(planes_arg, p, hp, hn, hw, he)
+        jax.block_until_ready(ap)
+        stats.spmv_time_ms += (time.perf_counter() - t0) * 1e3
+        n_block_calls["spmv"] += 1
+        t0 = time.perf_counter()
+        pap = float(dot_allreduce(p, ap))
+        stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
+        n_read_calls += 1
+        alpha = jnp.asarray(rr / pap, dtype)
+        t0 = time.perf_counter()
+        x, r = upd_local(alpha, x, r, p, ap)
+        jax.block_until_ready(r)
+        stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+        n_block_calls["blas1"] += 1
+        t0 = time.perf_counter()
+        rr_new = float(dot_allreduce(r, r))
+        stats.allreduce_time_ms += (time.perf_counter() - t0) * 1e3
+        n_read_calls += 1
+        k += 1
+        if verbose >= 2:
+            print(f"[CG-SHARDED-2D] Iter {k:3d}: rel = {rr_new ** 0.5 / b_norm:e}")
+        if rr_new ** 0.5 < tolerance * b_norm:
+            converged = True
+        else:
+            t0 = time.perf_counter()
+            p = pupd(jnp.asarray(rr_new / rr, dtype), r, p)
+            jax.block_until_ready(p)
+            stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
+            n_block_calls["blas1"] += 1
+        rr = rr_new
+    _apply_dispatch_correction(stats, n_block_calls, n_read_calls, disp_block, disp_read)
+    stats.reduction_time_ms = stats.allreduce_time_ms
+    stats.total_time_ms = (time.perf_counter() - t_solve) * 1e3
+    stats.iterations = k
+    stats.converged = converged
+    stats.residual_norm = rr ** 0.5
+    stats.relative_residual = rr ** 0.5 / b_norm if b_norm else 0.0
+    return x, stats
+
+
+def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, overlap,
+                     pspec, synth_b):
     ax_r, ax_c = mesh.axis_names
     nr, nc = (int(mesh.shape[ax_r]), int(mesh.shape[ax_c]))
-    has_planes = mode in ("stencil5", "stencil5-bf16c")
-    if has_planes:
-        coeff_dtype = jnp.bfloat16 if mode == "stencil5-bf16c" else dtype
-        pspec = P(None, ax_r, ax_c)
-        # the planes cache is shared with the 1-D path: keyed on content, not solver config
-        planes = _sharded_planes(mesh, g, coeff_dtype, diag, offdiag, 0, pspec)
-    else:
-        planes = jnp.zeros((), dtype)
-        pspec = P()
     axes_both = (ax_r, ax_c)
     # dots accumulate in ≥f32 even for bf16 fields (the blas1._acc_dtype rule)
     acc_dt = jnp.float64 if dtype == jnp.float64 else jnp.float32
@@ -716,8 +1005,9 @@ def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, 
     use_overlap = overlap and (g // nr) >= 3
     local_spmv_dot = local_spmv_dot_overlapped if use_overlap else local_spmv_dot_sync
 
-    def local_cg(planes_l):
-        b_l = jnp.ones((g // nr, g // nc), dtype)
+    def local_cg(b_l, planes_l):
+        if synth_b:
+            b_l = jnp.ones((g // nr, g // nc), dtype)
         r0 = b_l  # x0 = 0
         rr0 = _gdot(r0, r0)
         b_norm = jnp.sqrt(rr0)
@@ -743,8 +1033,14 @@ def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, 
         sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
         return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
-    sharded = jax.shard_map(
-        local_cg, mesh=mesh, in_specs=(pspec,),
-        out_specs=(P(ax_r, ax_c), P()), check_vma=False,
-    )
-    return jax.jit(sharded), planes
+    if synth_b:
+        sharded = jax.shard_map(
+            lambda planes_l: local_cg(None, planes_l), mesh=mesh, in_specs=(pspec,),
+            out_specs=(P(ax_r, ax_c), P()), check_vma=False,
+        )
+    else:
+        sharded = jax.shard_map(
+            local_cg, mesh=mesh, in_specs=(P(ax_r, ax_c), pspec),
+            out_specs=(P(ax_r, ax_c), P()), check_vma=False,
+        )
+    return jax.jit(sharded)
