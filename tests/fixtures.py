@@ -69,6 +69,88 @@ def random_sparse(n: int, density=0.05, seed=42):
     return coo_to_csr(COOMatrix(n, n, rows[first], cols[first], vals))
 
 
+def ill_conditioned(n: int, cond: float = 1e12):
+    """SPD diagonal with geometrically spaced eigenvalues spanning ``cond`` — the
+    reference's ill-conditioned generator role (matrix_fixtures.hpp:38-141): stresses CG
+    convergence behavior and the metrics' finite-tolerance assumptions.  κ(A) == cond
+    exactly; the analytical solve of A x = ones is x_i = 1/d_i."""
+    return diagonal(np.logspace(0.0, -np.log10(cond), n))
+
+
+def dense_block(n: int, block: int, block_start: int = 0, seed=13):
+    """Identity plus one dense ``block``×``block`` sub-block (reference dense-block
+    fixture): the worst case for ELL width (block rows carry ``block`` nnz while the
+    rest carry 1) and for the gather kernel's measured column windows."""
+    rs = np.random.RandomState(seed)
+    i = np.arange(n, dtype=np.int64)
+    rows = [i]
+    cols = [i]
+    vals = [np.ones(n)]
+    b0, b1 = block_start, block_start + block
+    assert b1 <= n
+    br, bc = np.meshgrid(np.arange(b0, b1), np.arange(b0, b1), indexing="ij")
+    off_diag = br.ravel() != bc.ravel()  # keep the identity's diagonal unduplicated
+    rows.append(br.ravel()[off_diag].astype(np.int64))
+    cols.append(bc.ravel()[off_diag].astype(np.int64))
+    vals.append(rs.randn(int(off_diag.sum())))
+    return coo_to_csr(
+        COOMatrix(n, n, np.concatenate(rows), np.concatenate(cols), np.concatenate(vals))
+    )
+
+
+def unbalanced_rows(n: int, heavy_every: int = 37, heavy_nnz: int = 40, seed=17):
+    """Mostly 1-nnz rows with periodic HEAVY rows of ``heavy_nnz`` scattered nonzeros
+    (reference unbalanced-rows fixture): the ELL pad ratio goes to ~heavy_nnz× and the
+    per-subtile measured spans diverge wildly — exactly the shape that stresses the
+    gather kernel's percentile-span/overflow machinery."""
+    rs = np.random.RandomState(seed)
+    i = np.arange(n, dtype=np.int64)
+    rows = [i]
+    cols = [i]
+    vals = [np.ones(n)]
+    for r in range(0, n, heavy_every):
+        c = np.unique(rs.randint(0, n, heavy_nnz))
+        c = c[c != r]
+        rows.append(np.full(len(c), r, np.int64))
+        cols.append(c.astype(np.int64))
+        vals.append(rs.randn(len(c)))
+    return coo_to_csr(
+        COOMatrix(n, n, np.concatenate(rows), np.concatenate(cols), np.concatenate(vals))
+    )
+
+
+def ninepoint(g: int, diag: float = 8.0, offdiag: float = -1.0):
+    """9-point stencil on a g×g grid (adds the 4 diagonal neighbors the 5-point lacks —
+    reference 9-point fixture, matrix_fixtures.cpp:118-180).  SPD for diag > 8·|offdiag|
+    is not guaranteed, but diag=8, offdiag=-1 is weakly diagonally dominant and the
+    expected checksum Σ_r (diag + offdiag·#neighbors(r)) is analytic.  NOT
+    stencil5-extractable: exercises the generic (gather/DIA) paths with 9 diagonals."""
+    rows, cols, vals = [], [], []
+    i, j = np.meshgrid(np.arange(g), np.arange(g), indexing="ij")
+    r = (i * g + j).ravel()
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ii, jj = i + di, j + dj
+            ok = ((ii >= 0) & (ii < g) & (jj >= 0) & (jj < g)).ravel()
+            rows.append(r[ok])
+            cols.append((ii * g + jj).ravel()[ok])
+            vals.append(np.full(int(ok.sum()),
+                                diag if (di == 0 and dj == 0) else offdiag))
+    return coo_to_csr(
+        COOMatrix(g * g, g * g,
+                  np.concatenate(rows).astype(np.int64),
+                  np.concatenate(cols).astype(np.int64), np.concatenate(vals))
+    )
+
+
+def ninepoint_checksum(g: int, diag: float = 8.0, offdiag: float = -1.0) -> float:
+    """Analytic Sum(A · ones) for the 9-point stencil: per row diag + offdiag·#neighbors;
+    neighbor counts are 3/5/8 for corner/edge/interior points."""
+    corners, edges, interior = 4, 4 * (g - 2), (g - 2) * (g - 2)
+    return (g * g * diag
+            + offdiag * (corners * 3 + edges * 5 + interior * 8))
+
+
 def spd_stencil_csr(g: int, diag=5.0, offdiag=-1.0):
     from tpusparse.formats import stencil5_to_csr
     from tpusparse.generate import make_stencil5

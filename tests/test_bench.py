@@ -109,6 +109,30 @@ class TestExport:
         assert len(lines) == 3  # one header + two rows
         assert lines[0].startswith("timestamp")
 
+    def test_csv_append_evolved_schema(self, tmp_path):
+        """The load-bearing sweep behavior (export.append_csv drop-new/blank-missing):
+        appending a row whose schema EVOLVED — new fields added, some old ones gone —
+        must keep every row aligned to the FILE's header: new fields dropped, missing
+        ones blank, never a silent column shift mid-file."""
+        import csv as _csv
+
+        p = str(tmp_path / "r.csv")
+        export.append_csv(p, self._result())
+        evolved = self._result()
+        evolved["benchmark"]["performance"]["new_metric_xyz"] = 42.0  # new field
+        del evolved["benchmark"]["validation"]["norm2_y"]  # removed field
+        export.append_csv(p, evolved)
+        with open(p, newline="") as f:
+            rows = list(_csv.reader(f))
+        header, r1, r2 = rows
+        assert len(r1) == len(header) and len(r2) == len(header)
+        assert "benchmark.performance.new_metric_xyz" not in header  # dropped, not mixed
+        col = header.index("benchmark.validation.norm2_y")
+        assert r1[col] == "2.0" and r2[col] == ""  # blank, not shifted
+        # every shared column must land in the same place in both rows
+        mode_col = header.index("benchmark.mode")
+        assert r1[mode_col] == r2[mode_col] == "stencil5"
+
     def test_human_print_sections(self, capsys):
         export.print_human_spmv(self._result())
         out = capsys.readouterr().out
