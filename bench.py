@@ -71,11 +71,11 @@ def bench_cg_20k() -> dict:
     # comparable per-point traffic and must be reported alongside, not buried in docs)
     med_bf16c = None
     try:
-        # planes synthesized ON DEVICE (a host build would ship 8.4 GB through the
-        # tunnel); the f32 intermediate is dropped right after the bf16 cast
-        planes32 = generate.make_stencil5_planes_device(g, dtype=jnp.float32)
-        planes_bf16 = jnp.asarray(planes32, jnp.bfloat16)
-        del planes32
+        # planes synthesized ON DEVICE, DIRECTLY in bf16 (a host build would ship 8.4 GB
+        # through the tunnel, and an f32 device intermediate OOMs the 16 GB chip next to
+        # the solve state; 5.0/−1.0/0.0 are exact in bf16, so direct synthesis is
+        # bit-identical to the cast)
+        planes_bf16 = generate.make_stencil5_planes_device(g, dtype=jnp.bfloat16)
         st2 = Stencil5(grid_size=g, planes=planes_bf16, constant=(5.0, -1.0))
         op2 = ops.get_operator("stencil5-bf16c", st2)
         del st2, planes_bf16
