@@ -59,12 +59,14 @@ def load_operand(spec: str):
 
     if spec.startswith("gen:"):
         g = int(spec[4:])
-        import numpy as np
 
-        # f32 host planes: the generator's coefficients (5, -1, 0) are exact in f32, and
-        # f64 planes at g=20480 would cost 16.8 GB of host RAM for nothing.  f64 runs cast
-        # up losslessly.
-        return generate.make_stencil5(g, dtype=np.float32), f"stencil5-{g}x{g}"
+        # PLANES-FREE operand: the canonical generator field is constant-coefficient, so
+        # the stencil operators synthesize their planes directly ON DEVICE (bit-identical
+        # to the host generator; kills the multi-GB host build + tunnel upload per mode —
+        # 10.5 GB of f32 planes at 20480²).  Generic formats (csr/dia/bcoo) synthesize
+        # host planes lazily inside stencil5_to_csr.
+        return (formats.Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0)),
+                f"stencil5-{g}x{g}")
     coo = io_mtx.load_matrix_market(spec)
     return formats.coo_to_csr(coo), os.path.basename(spec)
 

@@ -336,7 +336,17 @@ def csr_to_stencil5(csr: CSRMatrix, grid_size: Optional[int] = None) -> Stencil5
 
 
 def stencil5_to_csr(st: Stencil5) -> CSRMatrix:
-    """Expand a Stencil5 operand back to sorted CSR (for cross-validation and export)."""
+    """Expand a Stencil5 operand back to sorted CSR (for cross-validation and export).
+
+    A planes-free constant-coefficient operand (planes=None, constant set — the
+    no-host-materialization form the CLIs build for ``gen:`` specs) synthesizes its host
+    planes here, lazily: only the generic formats (CSR/ELL/DIA/BCOO) ever need them."""
+    if st.planes is None:
+        if st.constant is None:
+            raise ValueError("Stencil5 needs planes or constant coefficients")
+        from .generate import make_stencil5
+
+        st = make_stencil5(st.grid_size, *st.constant, dtype=np.float32)
     g = st.grid_size
     n = g * g
     i, j = np.meshgrid(np.arange(g, dtype=np.int64), np.arange(g, dtype=np.int64), indexing="ij")

@@ -182,6 +182,21 @@ class DeviceOperator:
 # ---------------------------------------------------------------------------
 
 
+def _planes_device(st: Stencil5, dtype):
+    """Device coefficient planes for a Stencil5.  ``planes=None`` with ``constant`` set
+    synthesizes them DIRECTLY ON DEVICE (generate.make_stencil5_planes_device) — on
+    tunneled deployments this replaces a multi-GB host→device upload (10.5 GB of f32
+    planes at 20480²) with an in-graph broadcast, and is bit-identical to uploading the
+    host generator's planes (same masks, same constants)."""
+    if st.planes is None:
+        if st.constant is None:
+            raise ValueError("Stencil5 needs planes or constant coefficients")
+        from .generate import make_stencil5_planes_device
+
+        return make_stencil5_planes_device(st.grid_size, *st.constant, dtype=dtype)
+    return jnp.asarray(st.planes, dtype)
+
+
 def _init_stencil5(st: Stencil5, dtype=None, coeff_dtype=None) -> DeviceOperator:
     """``coeff_dtype`` (mode "stencil5-bf16c"): store the coefficient planes in bf16 while
     the vector state stays f32 — plane traffic halves (28 → 18 B/pt) for a measured 28%
@@ -190,7 +205,7 @@ def _init_stencil5(st: Stencil5, dtype=None, coeff_dtype=None) -> DeviceOperator
     fields the coefficients round to 8-bit mantissa — the caller chooses."""
     dtype = dtype or _default_dtype()
     g = st.grid_size
-    planes = jnp.asarray(st.planes, coeff_dtype or dtype)
+    planes = _planes_device(st, coeff_dtype or dtype)
     interp = _is_cpu()
 
     def run_device(x):
@@ -227,7 +242,7 @@ def _init_stencil5_xla(st: Stencil5, dtype=None) -> DeviceOperator:
     the **f64 stencil path on TPU** (Mosaic has no f64; XLA emulates it)."""
     dtype = dtype or _default_dtype()
     g = st.grid_size
-    planes = jnp.asarray(st.planes, dtype)
+    planes = _planes_device(st, dtype)
 
     def run_device_op(x, operands):
         return _st5.spmv_stencil5_xla(operands[0], x)
