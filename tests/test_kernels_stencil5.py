@@ -239,3 +239,83 @@ def test_const_xla_f32_matches_dense():
     x = np.random.RandomState(1).randn(g * g).astype(np.float32)
     y = np.asarray(op.from_field(op.run_device(op.as_field(x))), np.float64)
     np.testing.assert_allclose(y, dense @ x.astype(np.float64), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("g", GRIDS)
+def test_const_pipelined_matches_dense(g):
+    """Delay-by-one values-free pipeline ≡ dense oracle (incl. padded final blocks)."""
+    from tpusparse.kernels.stencil5 import spmv_stencil5_const_pipelined
+
+    st, dense, x, y_ref = _setup(g)
+    y = spmv_stencil5_const_pipelined(
+        jnp.asarray(x.reshape(g, g)), diag=5.0, offdiag=-1.0, block_rows=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("g", [13, 16])
+def test_const_pipelined_fused_dot(g):
+    from tpusparse.kernels.stencil5 import spmv_stencil5_const_pipelined
+
+    st, dense, x, y_ref = _setup(g)
+    y, dot = spmv_stencil5_const_pipelined(
+        jnp.asarray(x.reshape(g, g)), diag=5.0, offdiag=-1.0, block_rows=8,
+        with_dot=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12)
+    np.testing.assert_allclose(float(dot), float(x @ y_ref), rtol=1e-12)
+
+
+def test_const_pipelined_band_with_halos():
+    """Row-offset agnosticism: an interior band with true neighbor rows as halos."""
+    from tpusparse.kernels.stencil5 import spmv_stencil5_const_pipelined
+
+    g = 24
+    st, dense, x, y_ref = _setup(g)
+    xf = x.reshape(g, g)
+    r0, r1 = 8, 24  # interior band of 16 rows = 2 slabs of 8
+    y = spmv_stencil5_const_pipelined(
+        jnp.asarray(xf[r0:r1]),
+        jnp.asarray(xf[r0 - 1 : r0]),
+        jnp.zeros((1, g)),  # r1 == g: grid edge — zero halo IS the boundary
+        diag=5.0, offdiag=-1.0, block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y).ravel(), y_ref.reshape(g, g)[r0:r1].ravel(), rtol=1e-12, atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("g", [13, 16, 24])
+@pytest.mark.parametrize("beta", [0.0, 0.7])
+def test_const_pupdate_pipelined(g, beta):
+    """Fused values-free (p' = r + β·p, A·p', <p',A·p'>) ≡ the separate passes."""
+    from tpusparse.kernels.stencil5 import spmv_stencil5_const_pupdate_pipelined
+
+    st, dense, _, _ = _setup(g)
+    rng = np.random.RandomState(3)
+    r = rng.randn(g * g)
+    p = np.zeros(g * g) if beta == 0.0 else rng.randn(g * g)
+    pnew_ref = r + beta * p
+    y_ref = dense @ pnew_ref
+    pn, y, pap = spmv_stencil5_const_pupdate_pipelined(
+        beta, jnp.asarray(r.reshape(g, g)), jnp.asarray(p.reshape(g, g)),
+        diag=5.0, offdiag=-1.0, block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(pn).ravel(), pnew_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(y).ravel(), y_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(pap), float(pnew_ref @ y_ref), rtol=1e-12)
+
+
+def test_const_operator_fused_cg_parity():
+    """CG through the const operator with fused_pupdate=True ≡ fused_pupdate=False."""
+    from tpusparse import ops
+    from tpusparse.solvers import cg
+
+    g = 16
+    st = formats.Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
+    op = ops.get_operator("stencil5-const", st, dtype=jnp.float64)
+    b = jnp.ones((g, g), jnp.float64)
+    x1, s1 = cg.cg_solve(op, b, fused_pupdate=False)
+    x2, s2 = cg.cg_solve(op, b, fused_pupdate=True)
+    assert s1.iterations == s2.iterations
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-10)

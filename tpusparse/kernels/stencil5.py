@@ -629,3 +629,281 @@ def spmv_stencil5_pupdate_pipelined(planes, beta, r, p, halo_prev=None, halo_nex
             interpret=interpret,
         )(b2, planes, r, p, halo_prev, halo_next)
     return pnew, y, dot[0, 0]
+
+# ---------------------------------------------------------------------------
+# Values-free pipelined variants.
+#
+# The simple const kernel (`spmv_stencil5_const_pallas`) fetches two 8-row neighbor
+# windows per slab: 2 + 16/bg words/point.  At the headline sizes the overfetch is the
+# dominant inefficiency of the whole solve — bg=24 at 20480² pays 2.67 words/pt where the
+# true byte floor is 2 (x read + y write; the reference's "values-free" analog would be
+# 16 B/row in f64 terms, SURVEY.md §6).  The delay-by-one pipeline below reaches the exact
+# floor with the same carry discipline as `_stencil5_pipe_kernel`.
+# ---------------------------------------------------------------------------
+
+
+def _pick_block_rows_const_pipe(g: int) -> int:
+    """Slab height for the pipelined values-free kernels: per grid step the pipeline holds
+    2×(x in + y out) double-buffered slabs + 1 carried scratch slab = 5 slabs of bg·g f32.
+    600K elements/slab keeps that under the 16 MB scoped-VMEM wall with headroom (measured
+    on v5e: 56×10240 and 24×20480 compile and run; the simple kernel's 500K chooser is kept
+    for the windowed variant whose budget differs)."""
+    bg = max(8, min(256, 600_000 // max(g, 1)))
+    return int(bg - (bg % 8)) or 8
+
+
+def _stencil5_const_pipe_kernel(xm_ref, hprev_ref, hnext_ref, y_ref, *maybe_dot,
+                                diag: float, offdiag: float, nrows_total: int,
+                                block_rows: int, gcols: int, with_dot: bool):
+    # scratch refs trail outputs: ([dot_ref,] prev_xm_ref, prev_last_ref)
+    if with_dot:
+        dot_ref, prev_xm_ref, prev_last_ref = maybe_dot
+    else:
+        dot_ref = None
+        prev_xm_ref, prev_last_ref = maybe_dot
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    ni = nsteps - 1
+    bg = block_rows
+
+    @pl.when(i >= 1)
+    def _compute():
+        j = i - 1
+        xm = prev_xm_ref[:]
+        dtype = xm.dtype
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + j * bg
+        xm = jnp.where(lrow < nrows_total, xm, jnp.zeros_like(xm))
+
+        # north: slab j-1's last row (carried); halo row at the band edge
+        top_row = jnp.where(j == 0, hprev_ref[:], prev_last_ref[:])
+        # south: slab j+1's first row — the slab being fetched right now
+        bot_row = jnp.where(j == ni - 1, hnext_ref[:], xm_ref[0:1, :])
+        xn = jnp.concatenate([top_row, xm[:-1, :]], axis=0)
+        xs = jnp.concatenate([xm[1:, :], bot_row], axis=0)
+        xs = jnp.where(lrow == nrows_total - 1, jnp.broadcast_to(bot_row, xs.shape), xs)
+        xw = jnp.concatenate([xm[:, :1], xm[:, :-1]], axis=1)
+        xe = jnp.concatenate([xm[:, 1:], xm[:, -1:]], axis=1)
+
+        # W/E grid edges are lane masks; N/S edges arrive as zero halo rows (boundary is
+        # data — see _stencil5_const_kernel)
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (bg, gcols), 1)
+        mask_w = (gcol > 0).astype(dtype)
+        mask_e = (gcol < gcols - 1).astype(dtype)
+
+        y = diag * xm + offdiag * (xn + xs + mask_w * xw + mask_e * xe)
+        y_ref[:] = y
+
+        if with_dot:
+            part = jnp.sum(jnp.where(lrow < nrows_total, xm * y, jnp.zeros_like(y)))
+
+            @pl.when(j == 0)
+            def _():
+                dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+            dot_ref[0, 0] += part.astype(dot_ref.dtype)
+
+    @pl.when(i < ni)
+    def _carry():
+        @pl.when(i >= 1)
+        def _():
+            prev_last_ref[:] = prev_xm_ref[bg - 1 : bg, :]
+
+        prev_xm_ref[:] = xm_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("diag", "offdiag", "block_rows", "with_dot", "interpret")
+)
+def spmv_stencil5_const_pipelined(x, halo_prev=None, halo_next=None, *, diag: float = 5.0,
+                                  offdiag: float = -1.0, block_rows: int = 0,
+                                  with_dot: bool = False, interpret: bool = False):
+    """Pipelined values-free stencil SpMV: exact 2-words/point HBM traffic (x read +
+    y write, zero operand bytes).  Semantics identical to ``spmv_stencil5_const_pallas``."""
+    interpret = _auto_interpret(interpret)
+    rows, g = x.shape
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), x.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), x.dtype)
+    bg = block_rows or _pick_block_rows_const_pipe(g)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    ni = pl.cdiv(rows, bg)
+    if ni < 2:
+        # single slab: nothing to pipeline
+        return spmv_stencil5_const_pallas(
+            x, halo_prev, halo_next, diag=diag, offdiag=offdiag, block_rows=bg,
+            with_dot=with_dot, interpret=interpret,
+        )
+    nsteps = ni + 1
+
+    xm_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.minimum(i, ni - 1), 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _stencil5_const_pipe_kernel, diag=diag, offdiag=offdiag, nrows_total=rows,
+        block_rows=bg, gcols=g, with_dot=with_dot,
+    )
+    out_shape = [jax.ShapeDtypeStruct((rows, g), x.dtype)]
+    out_specs = [y_spec]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (1, 1), jnp.float32 if x.dtype != jnp.float64 else x.dtype))
+        out_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM))
+    with x64_off_for_32bit(x):
+        result = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[xm_spec, halo_spec, halo_spec],
+            out_specs=out_specs if with_dot else out_specs[0],
+            out_shape=out_shape if with_dot else out_shape[0],
+            scratch_shapes=[
+                pltpu.VMEM((bg, g), x.dtype),  # prev_xm
+                pltpu.VMEM((1, g), x.dtype),  # slab i-2's last row
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=9 * rows * g,
+                bytes_accessed=2 * rows * g * x.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x, halo_prev, halo_next)
+    if with_dot:
+        y, dot = result
+        return y, dot[0, 0]
+    return result
+
+
+def _pick_block_rows_const_pupd(g: int) -> int:
+    """Slab height for the FUSED values-free pass: 2 in (r, p) + 2 out (p', A·p') double-
+    buffered + 2 carried scratch slabs = 10 slabs of bg·g f32 per step; 320K elements/slab
+    stays under the scoped-VMEM wall (measured on v5e: 32×10240 and 16×20480 compile)."""
+    bg = max(8, min(256, 320_000 // max(g, 1)))
+    return int(bg - (bg % 8)) or 8
+
+
+def _stencil5_const_pupd_pipe_kernel(beta_ref, rm_ref, pm_ref, hprev_ref, hnext_ref,
+                                     pnew_ref, y_ref, dot_ref, prev_r_ref, prev_p_ref,
+                                     prev_last_ref, *, diag: float, offdiag: float,
+                                     nrows_total: int, block_rows: int, gcols: int):
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    ni = nsteps - 1
+    bg = block_rows
+    beta = beta_ref[0, 0]
+
+    @pl.when(i >= 1)
+    def _compute():
+        j = i - 1
+        rm = prev_r_ref[:]
+        pm = prev_p_ref[:]
+        dtype = rm.dtype
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + j * bg
+        pnew = rm + beta * pm
+        pnew = jnp.where(lrow < nrows_total, pnew, jnp.zeros_like(pnew))
+
+        top_row = jnp.where(j == 0, hprev_ref[:], prev_last_ref[:])
+        # south: slab j+1's first p' row, computed from the slabs being fetched right now
+        bot_next = rm_ref[0:1, :] + beta * pm_ref[0:1, :]
+        bot_row = jnp.where(j == ni - 1, hnext_ref[:], bot_next)
+        xn = jnp.concatenate([top_row, pnew[:-1, :]], axis=0)
+        xs = jnp.concatenate([pnew[1:, :], bot_row], axis=0)
+        xs = jnp.where(lrow == nrows_total - 1, jnp.broadcast_to(bot_row, xs.shape), xs)
+        xw = jnp.concatenate([pnew[:, :1], pnew[:, :-1]], axis=1)
+        xe = jnp.concatenate([pnew[:, 1:], pnew[:, -1:]], axis=1)
+
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (bg, gcols), 1)
+        mask_w = (gcol > 0).astype(dtype)
+        mask_e = (gcol < gcols - 1).astype(dtype)
+
+        y = diag * pnew + offdiag * (xn + xs + mask_w * xw + mask_e * xe)
+        pnew_ref[:] = pnew
+        y_ref[:] = y
+
+        part = jnp.sum(jnp.where(lrow < nrows_total, pnew * y, jnp.zeros_like(y)))
+
+        @pl.when(j == 0)
+        def _():
+            dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+        dot_ref[0, 0] += part.astype(dot_ref.dtype)
+
+        # carry THIS slab's last p' row for slab j+1's north neighbor
+        prev_last_ref[:] = pnew[bg - 1 : bg, :]
+
+    @pl.when(i < ni)
+    def _carry():
+        prev_r_ref[:] = rm_ref[:]
+        prev_p_ref[:] = pm_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("diag", "offdiag", "block_rows", "interpret")
+)
+def spmv_stencil5_const_pupdate_pipelined(beta, r, p, halo_prev=None, halo_next=None, *,
+                                          diag: float = 5.0, offdiag: float = -1.0,
+                                          block_rows: int = 0, interpret: bool = False):
+    """(p', A·p', <p', A·p'>) where p' = r + β·p — the fused values-free CG
+    top-of-iteration pass: 4 words/point (r, p read; p', A·p' write) vs 2+ (SpMV) + 3
+    (separate p-update) = 5+ unfused.  β = 0 with p = 0 gives the first iteration."""
+    interpret = _auto_interpret(interpret)
+    rows, g = r.shape
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), r.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), r.dtype)
+    bg = block_rows or _pick_block_rows_const_pupd(g)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    ni = pl.cdiv(rows, bg)
+    if ni < 2:
+        pnew = r + jnp.asarray(beta, r.dtype) * p
+        y, pap = spmv_stencil5_const_pallas(pnew, halo_prev, halo_next, diag=diag,
+                                            offdiag=offdiag, with_dot=True,
+                                            interpret=interpret)
+        return pnew, y, pap
+    nsteps = ni + 1
+    b2 = jnp.asarray(beta, r.dtype).reshape(1, 1)
+
+    field_in_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.minimum(i, ni - 1), 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _stencil5_const_pupd_pipe_kernel, diag=diag, offdiag=offdiag, nrows_total=rows,
+        block_rows=bg, gcols=g,
+    )
+    acc = jnp.float32 if r.dtype != jnp.float64 else jnp.float64
+    with x64_off_for_32bit(r, p):
+        pnew, y, dot = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                field_in_spec, field_in_spec, halo_spec, halo_spec,
+            ],
+            out_specs=[out_spec, out_spec,
+                       pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, g), r.dtype),
+                jax.ShapeDtypeStruct((rows, g), r.dtype),
+                jax.ShapeDtypeStruct((1, 1), acc),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bg, g), r.dtype),  # prev_r
+                pltpu.VMEM((bg, g), r.dtype),  # prev_p
+                pltpu.VMEM((1, g), r.dtype),  # previous slab's last p' row
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=11 * rows * g,
+                bytes_accessed=4 * rows * g * r.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(b2, r, p, halo_prev, halo_next)
+    return pnew, y, dot[0, 0]

@@ -271,12 +271,18 @@ def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
     interp = _is_cpu()
 
     def run_device(x):
-        return _st5.spmv_stencil5_const_pallas(
+        return _st5.spmv_stencil5_const_pipelined(
             x, diag=diag, offdiag=offdiag, interpret=interp)
 
     def run_device_dot(x):
-        return _st5.spmv_stencil5_const_pallas(
+        return _st5.spmv_stencil5_const_pipelined(
             x, diag=diag, offdiag=offdiag, with_dot=True, interpret=interp)
+
+    def run_fused_pupdate_op(beta, r, p, operands):
+        """(p', A·p', <p',A·p'>) with p' = r + β·p in ONE values-free pass: 4 words/pt
+        vs 2 (SpMV) + 3 (separate p-update) unfused."""
+        return _st5.spmv_stencil5_const_pupdate_pipelined(
+            beta, r, p, diag=diag, offdiag=offdiag, interpret=interp)
 
     return DeviceOperator(
         name="stencil5-const", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
@@ -284,6 +290,7 @@ def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
         grid_size=g, _buffers={"dtype": dtype},
         operands=(), run_device_op=lambda x, _o: run_device(x),
         run_device_dot_op=lambda x, _o: run_device_dot(x),
+        run_fused_pupdate_op=run_fused_pupdate_op,
     )
 
 

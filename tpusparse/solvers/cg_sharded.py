@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels import blas1
 from ..kernels.stencil5 import (
-    spmv_stencil5_const_pallas,
+    spmv_stencil5_const_pipelined,
     spmv_stencil5_pipelined,
 )
 from .cg import CGConfig, CGStats, _resolve_blas1
@@ -145,7 +145,7 @@ class ShardedOperator:
         if self.mode == "csr":
             return self._ell_band_spmv(operands_l[0], operands_l[1], p_l, hp, hn)
         if self.mode == "stencil5-const":
-            return spmv_stencil5_const_pallas(p_l, hp, hn, diag=self.diag,
+            return spmv_stencil5_const_pipelined(p_l, hp, hn, diag=self.diag,
                                               offdiag=self.offdiag)
         return spmv_stencil5_pipelined(operands_l, p_l, hp, hn)
 
@@ -161,7 +161,7 @@ class ShardedOperator:
             return self._spmv_dot_overlapped(operands_l, p_l, axis_name, axis_size)
         hp, hn = _band_halo_exchange(p_l, axis_name, axis_size)
         if self.mode == "stencil5-const":
-            y, pap_local = spmv_stencil5_const_pallas(
+            y, pap_local = spmv_stencil5_const_pipelined(
                 p_l, hp, hn, diag=self.diag, offdiag=self.offdiag, with_dot=True
             )
         else:
@@ -182,7 +182,7 @@ class ShardedOperator:
         hp, hn = _band_halo_exchange(p_l, axis_name, axis_size)
 
         if self.mode == "stencil5-const":
-            y_core, dot_core = spmv_stencil5_const_pallas(
+            y_core, dot_core = spmv_stencil5_const_pipelined(
                 p_l[1:-1], p_l[0:1], p_l[-1:], diag=self.diag, offdiag=self.offdiag,
                 with_dot=True,
             )
@@ -835,7 +835,7 @@ def cg_solve_sharded_2d_stepped(mesh: Mesh, grid_size: int, *, mode: str = "sten
     def _apply(planes_l, p_l, hp, hn, hw, he):
         """Collective-free local block apply: halos PROVIDED (the sync-path math)."""
         if mode == "stencil5-const":
-            y = spmv_stencil5_const_pallas(p_l, hp, hn, diag=diag, offdiag=offdiag)
+            y = spmv_stencil5_const_pipelined(p_l, hp, hn, diag=diag, offdiag=offdiag)
             dw, de = offdiag * hw, offdiag * he
         else:
             y = spmv_stencil5_pipelined(planes_l, p_l, hp, hn)
@@ -969,7 +969,7 @@ def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, 
     def local_spmv_dot_sync(planes_l, p_l):
         hp, hn, hw, he = _halo_exchange_2d(p_l, ax_r, nr, ax_c, nc)
         if mode == "stencil5-const":
-            y, dot_loc = spmv_stencil5_const_pallas(p_l, hp, hn, diag=diag,
+            y, dot_loc = spmv_stencil5_const_pipelined(p_l, hp, hn, diag=diag,
                                                     offdiag=offdiag, with_dot=True)
         else:
             y, dot_loc = spmv_stencil5_pipelined(planes_l, p_l, hp, hn, with_dot=True)
@@ -983,7 +983,7 @@ def _build_2d_solver(mesh, g, mode, diag, offdiag, tolerance, max_iters, dtype, 
         hp, hn, hw, he = _halo_exchange_2d(p_l, ax_r, nr, ax_c, nc)
         # CORE (rows [1:-1]): local halo rows only — independent of all four ppermutes
         if mode == "stencil5-const":
-            y_core, dot_core = spmv_stencil5_const_pallas(
+            y_core, dot_core = spmv_stencil5_const_pipelined(
                 p_l[1:-1], p_l[0:1], p_l[-1:], diag=diag, offdiag=offdiag,
                 with_dot=True)
         else:
