@@ -87,3 +87,38 @@ def test_int64_indices():
 def test_coo_validate_rejects_out_of_range():
     with pytest.raises(ValueError):
         COOMatrix(2, 2, np.array([0, 5]), np.array([0, 1]), np.ones(2)).validate()
+
+
+def test_stencil5_to_dia_matches_csr_path():
+    """Direct O(n) plane→DIA pack ≡ the O(nnz) stencil5→CSR→DIA path (values and layout),
+    for constant-coefficient, planes-carrying, and non-constant operands."""
+    from tpusparse import formats, generate
+
+    rng = np.random.RandomState(7)
+    for g, variant in [(2, "const"), (5, "planes"), (8, "random"), (13, "const")]:
+        if variant == "const":
+            st = formats.Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
+            st_csr = generate.make_stencil5(g)  # host planes for the CSR path
+        elif variant == "planes":
+            st = generate.make_stencil5(g)
+            st_csr = st
+        else:
+            st = generate.make_stencil5(g)
+            pl = np.array(st.planes)
+            mask = pl != 0.0
+            pl[mask] = rng.randn(mask.sum())
+            st = formats.Stencil5(grid_size=g, planes=pl, constant=None)
+            st_csr = st
+        d1 = formats.stencil5_to_dia(st)
+        d2 = formats.csr_to_dia(formats.stencil5_to_csr(st_csr))
+        np.testing.assert_array_equal(d1.offsets, d2.offsets)
+        np.testing.assert_allclose(d1.data, d2.data, rtol=0, atol=0)
+        assert d1.num_rows == d2.num_rows == g * g
+
+
+def test_stencil5_to_dia_g1_degenerate():
+    from tpusparse import formats, generate
+
+    st = generate.make_stencil5(1)
+    d = formats.stencil5_to_dia(st)
+    assert d.num_rows == 1 and float(d.data[d.offsets.tolist().index(0)][0]) == 5.0

@@ -287,6 +287,39 @@ def csr_to_dia(csr: CSRMatrix, max_diags: int = 4096) -> DIAMatrix:
     )
 
 
+def stencil5_to_dia(st: Stencil5) -> DIAMatrix:
+    """Stencil5 → DIA directly from the coefficient planes: O(n) array reshapes instead of
+    the O(nnz) CSR materialization + scatter of ``stencil5_to_csr`` → ``csr_to_dia`` (at
+    20480² that path builds a 2.1B-entry CSR on the host just to throw it away).
+
+    The five stencil diagonals sit at offsets [−g, −1, 0, +1, +g] and
+    ``data[d, i] = A[i, i + offsets[d]]`` is exactly plane [N, W, C, E, S] at point i —
+    the Dirichlet-zero plane masks ARE the out-of-band zeros of the DIA layout."""
+    g = st.grid_size
+    if g < 2:
+        # g == 1: offsets ±1 and ±g collide — degenerate; go through CSR
+        return csr_to_dia(stencil5_to_csr(st))
+    n = g * g
+    if st.planes is not None:
+        planes = np.asarray(st.planes)
+    else:
+        if st.constant is None:
+            raise ValueError("Stencil5 needs planes or constant coefficients")
+        diag, offdiag = st.constant
+        planes = np.zeros((5, g, g))
+        planes[C] = diag
+        planes[N, 1:, :] = offdiag
+        planes[S, :-1, :] = offdiag
+        planes[W, :, 1:] = offdiag
+        planes[E, :, :-1] = offdiag
+    data = np.stack([planes[p].reshape(n) for p in (N, W, C, E, S)])
+    return DIAMatrix(
+        num_rows=n, num_cols=n,
+        offsets=np.array([-g, -1, 0, 1, g], dtype=np.int64),
+        data=data, grid_size=g,
+    )
+
+
 def csr_to_stencil5(csr: CSRMatrix, grid_size: Optional[int] = None) -> Stencil5:
     """Extract the 5 coefficient planes from a CSR matrix known to be a 5-point stencil on a
     g×g grid.  Validates the structure (raises on any nonzero outside the stencil pattern).

@@ -643,12 +643,13 @@ def spmv_stencil5_pupdate_pipelined(planes, beta, r, p, halo_prev=None, halo_nex
 
 
 def _pick_block_rows_const_pipe(g: int) -> int:
-    """Slab height for the pipelined values-free kernels: per grid step the pipeline holds
-    2×(x in + y out) double-buffered slabs + 1 carried scratch slab = 5 slabs of bg·g f32.
-    600K elements/slab keeps that under the 16 MB scoped-VMEM wall with headroom (measured
-    on v5e: 56×10240 and 24×20480 compile and run; the simple kernel's 500K chooser is kept
-    for the windowed variant whose budget differs)."""
-    bg = max(8, min(256, 600_000 // max(g, 1)))
+    """Slab height for the pipelined values-free kernel.  The scoped-VMEM wall is MEASURED,
+    not derived: Mosaic's stack accounting charges ≈6.8 slab-equivalents per step (2× double-
+    buffered x-in + 2× y-out + carried scratch + compute temps), and on v5e bg·g = 589,824
+    elements (144×4096) compiles at 16.00 MB while 593,920 (232×2560) overflows by 58 KB.
+    492K elements/slab keeps the proven headline picks (24×20480, 48×10240 — the 418 ms
+    20480² solve) while staying ~17% under the wall at every g."""
+    bg = max(8, min(256, 492_000 // max(g, 1)))
     return int(bg - (bg % 8)) or 8
 
 

@@ -465,8 +465,14 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
     from .kernels import dia as _dia
 
     dtype = dtype or _default_dtype()
-    csr = _as_csr(mat)
-    dia = formats.csr_to_dia(csr)
+    if isinstance(mat, Stencil5):
+        # direct O(n) plane→diagonal pack — no 5g²-entry host CSR intermediate
+        dia = formats.stencil5_to_dia(mat)
+        nnz = mat.nnz
+    else:
+        csr = _as_csr(mat)
+        dia = formats.csr_to_dia(csr)
+        nnz = csr.nnz
     data128, offsets, n, nr = _dia.pack_dia_operand(dia, dtype)
     fshape = (nr, _dia.LANES)
 
@@ -480,9 +486,9 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
     run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, (data128,))
 
     return DeviceOperator(
-        name="dia", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
+        name="dia", num_rows=n, num_cols=dia.num_cols, nnz=nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
-        grid_size=csr.grid_size, _buffers={"data": data128, "dtype": dtype},
+        grid_size=dia.grid_size, _buffers={"data": data128, "dtype": dtype},
         operands=(data128,), run_device_op=run_device_op,
         run_device_dot_op=run_device_dot_op,
     )
@@ -491,9 +497,14 @@ def _init_dia(mat, dtype=None) -> DeviceOperator:
 def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
     """Pure-XLA diagonal-offset formulation — oracle/fallback for the Pallas DIA kernel."""
     dtype = dtype or _default_dtype()
-    csr = _as_csr(mat)
-    dia = formats.csr_to_dia(csr)
-    n = csr.num_rows
+    if isinstance(mat, Stencil5):
+        dia = formats.stencil5_to_dia(mat)  # O(n) plane pack, no CSR intermediate
+        nnz = mat.nnz
+    else:
+        csr = _as_csr(mat)
+        dia = formats.csr_to_dia(csr)
+        nnz = csr.nnz
+    n = dia.num_rows
     data_d = jnp.asarray(dia.data, dtype)  # (ndiag, n)
     offsets = [int(o) for o in dia.offsets]
     fshape = _field_shape_for(n)
@@ -518,9 +529,9 @@ def _init_dia_xla(mat, dtype=None) -> DeviceOperator:
     run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, (data_d,))
 
     return DeviceOperator(
-        name="dia-xla", num_rows=n, num_cols=csr.num_cols, nnz=csr.nnz,
+        name="dia-xla", num_rows=n, num_cols=dia.num_cols, nnz=nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
-        grid_size=csr.grid_size, _buffers={"data": data_d, "dtype": dtype},
+        grid_size=dia.grid_size, _buffers={"data": data_d, "dtype": dtype},
         operands=(data_d,), run_device_op=run_device_op,
         run_device_dot_op=run_device_dot_op,
     )
