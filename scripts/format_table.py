@@ -25,14 +25,23 @@ MODES = ["stencil5", "stencil5-bf16c", "stencil5-const", "stencil5-xla",
 
 # Explained absences: (mode, size) pairs that cannot or should not run, with the reason.
 # Anything not listed and not measured renders as "not measured" so gaps stay loud.
+_CSRXLA_OOM = ("measured OOM: XLA tile-pads the [n,5] ELL gather operand to T(8,128) — "
+               "8 GB temp at 4096², 53.7 GB at 10240² (compile logs in repo history); "
+               "measured through 2560")
 ABSENT = {
+    ("csr", 15360): "pack-time bound: the gather pack's per-row column-window analysis "
+                    "is O(nnz) host work — measured >1 h for the 1.18B ELL slots on this "
+                    "1-core host (timeout); the 9.4 GB operand itself fits. Measured "
+                    "through 10240",
     ("csr", 20480): "operand > HBM: packed ELL cols+vals = 16.8 GB vs 16 GB chip "
-                    "(measured OOM)",
-    ("csr-xla", 15360): "~10 s/apply XLA gather (171× the hand kernel at 2k, scaling "
-                        "linearly) — measured at 10240 instead",
-    ("csr-xla", 20480): "see 15360 row; operand additionally > HBM at this size",
-    ("bcoo", 15360): "~20 s/apply (447× at 2k); measured at 10240; CG head-to-head at "
-                     "4096 in GENERIC_COMPARISON.md",
+                    "(measured OOM); pack additionally time-bound (see 15360 row)",
+    ("csr-xla", 4096): _CSRXLA_OOM,
+    ("csr-xla", 10240): _CSRXLA_OOM,
+    ("csr-xla", 15360): "see 4096 row (OOM grows with n)",
+    ("csr-xla", 20480): "see 4096 row (OOM grows with n)",
+    ("bcoo", 15360): "~24 s/apply extrapolated (1.72 s at 4096², linear in nnz); "
+                     "measured through 10240; CG head-to-head at 4096 in "
+                     "GENERIC_COMPARISON.md",
     ("bcoo", 20480): "see 15360 row",
     ("dia-xla", 15360): "oracle role only (validates the Pallas DIA kernel); measured "
                         "through 10240",

@@ -99,16 +99,22 @@ class DeviceOperator:
         return jnp.asarray(x_field).reshape(-1)[: self.num_rows]
 
     def ones_b(self, dtype):
-        """The canonical b = ones right-hand side, zero in any padded tail."""
-        return self.as_field(np.ones(self.num_cols)).astype(dtype)
+        """The canonical b = ones right-hand side, zero in any padded tail.  Built in the
+        target dtype on the host — an f64 staging upload would double the H2D bytes and the
+        transient HBM footprint (OOM-relevant at 20480², see run_timed)."""
+        return self.as_field(np.ones(self.num_cols, dtype=np.dtype(dtype)))
 
     def run_timed(self, x_flat_host: np.ndarray):
         """Reference run_timed semantics (spmv_cusparse_csr.cu:234-264): includes the H2D of x
         and D2H of y in the timed region, kernel timed on device events — here wall clock
         around a fully synchronized call."""
         t0 = time.perf_counter()
-        xf = self.as_field(np.asarray(x_flat_host)).astype(self._run_dtype())
-        y = self.run_device(xf)
+        # cast on HOST before the H2D: uploading np.ones's f64 then casting on device
+        # doubles both the transfer and the transient HBM footprint — at 20480² (f32) the
+        # extra 3.4 GB staging copy is the difference between fitting and OOM next to the
+        # 8.4 GB plane operand
+        x_host = np.asarray(x_flat_host, dtype=np.dtype(self._run_dtype()))
+        y = self.run_device(self.as_field(x_host))
         y_host = np.asarray(y).reshape(-1)[: self.num_rows]
         ms = (time.perf_counter() - t0) * 1e3
         return y_host, ms
