@@ -122,3 +122,26 @@ def test_stencil5_to_dia_g1_degenerate():
     st = generate.make_stencil5(1)
     d = formats.stencil5_to_dia(st)
     assert d.num_rows == 1 and float(d.data[d.offsets.tolist().index(0)][0]) == 5.0
+
+
+def test_stencil5_to_ell_matches_csr_path():
+    """Direct O(n) plane→ELL pack ≡ csr_to_ell(stencil5_to_csr(...)) bit-for-bit,
+    including the window-friendly pad policy, for constant and zero-carrying planes."""
+    from tpusparse import formats, generate
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for g in (1, 2, 3, 5, 8, 13):
+        cases.append(generate.make_stencil5(g))
+    st = generate.make_stencil5(6)
+    pl = np.array(st.planes)
+    nzpos = np.argwhere(pl != 0.0)
+    drop = nzpos[rng.choice(len(nzpos), size=len(nzpos) // 4, replace=False)]
+    pl[tuple(drop.T)] = 0.0  # interior zeros: rows shrink below width 5
+    cases.append(formats.Stencil5(grid_size=6, planes=pl, constant=None))
+    for st in cases:
+        e1 = formats.stencil5_to_ell(st)
+        e2 = formats.csr_to_ell(formats.stencil5_to_csr(st))
+        assert e1.width == e2.width, (st.grid_size, e1.width, e2.width)
+        np.testing.assert_array_equal(e1.col, e2.col)
+        np.testing.assert_allclose(e1.val, e2.val, rtol=0, atol=0)

@@ -320,6 +320,55 @@ def stencil5_to_dia(st: Stencil5) -> DIAMatrix:
     )
 
 
+def stencil5_to_ell(st: Stencil5) -> ELLMatrix:
+    """Stencil5 → ELLPACK directly from the planes: O(n) vectorized scatter instead of the
+    O(nnz) ``stencil5_to_csr`` → ``coo_to_csr`` (sort!) → ``csr_to_ell`` chain, whose CSR
+    materialization alone exceeded an hour at 15360² on a 1-core host.
+
+    Bit-equal to the CSR path (asserted in tests): the stencil's candidate columns
+    [i−g, i−1, i, i+1, i+g] are already sorted, zero coefficients are dropped exactly as
+    ``stencil5_to_csr`` drops them, and pad slots repeat the row's last real column (the
+    window-friendly policy of ``csr_to_ell``; empty rows keep col=row)."""
+    g = st.grid_size
+    n = g * g
+    if st.planes is None:
+        if st.constant is None:
+            raise ValueError("Stencil5 needs planes or constant coefficients")
+        from .generate import make_stencil5
+
+        st = make_stencil5(g, *st.constant, dtype=np.float32)
+    i, j = np.meshgrid(np.arange(g, dtype=np.int64), np.arange(g, dtype=np.int64),
+                       indexing="ij")
+    row_of = i * g + j
+    # candidate (col, val, valid) per plane, in globally sorted column order N < W < C < E < S
+    cand_col = np.empty((5, g, g), np.int64)
+    valid = np.empty((5, g, g), bool)
+    vals = np.asarray(st.planes)
+    for p, (di, dj) in ((N, (-1, 0)), (W, (0, -1)), (C, (0, 0)), (E, (0, 1)), (S, (1, 0))):
+        ii, jj = i + di, j + dj
+        ok = (ii >= 0) & (ii < g) & (jj >= 0) & (jj < g)
+        cand_col[p] = np.where(ok, ii * g + jj, 0)
+        valid[p] = ok & (vals[p] != 0.0)
+    cc = cand_col.reshape(5, n).T          # (n, 5) sorted candidate columns
+    vv = vals.reshape(5, n).T
+    mm = valid.reshape(5, n).T
+    lens = mm.sum(axis=1)
+    w = int(lens.max()) if n else 0
+    pos = np.cumsum(mm, axis=1) - 1        # slot index of each valid candidate
+    rsel = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None], (n, 5))[mm]
+    col = np.repeat(np.arange(n, dtype=np.int64).reshape(-1, 1), max(w, 1), axis=1)[:, :w]
+    val = np.zeros((n, w), dtype=vv.dtype)
+    col[rsel, pos[mm]] = cc[mm]
+    val[rsel, pos[mm]] = vv[mm]
+    if w > 1:
+        nz = lens > 0
+        last = np.where(nz, col[np.arange(n), np.maximum(lens - 1, 0)],
+                        np.arange(n, dtype=np.int64))
+        pad_mask = np.arange(w)[None, :] >= lens[:, None]
+        col = np.where(pad_mask, last[:, None], col)
+    return ELLMatrix(num_rows=n, num_cols=n, width=w, col=col, val=val, grid_size=g)
+
+
 def csr_to_stencil5(csr: CSRMatrix, grid_size: Optional[int] = None) -> Stencil5:
     """Extract the 5 coefficient planes from a CSR matrix known to be a 5-point stencil on a
     g×g grid.  Validates the structure (raises on any nonzero outside the stencil pattern).

@@ -255,7 +255,8 @@ def _init_stencil5_xla(st: Stencil5, dtype=None) -> DeviceOperator:
 
     def run_device_dot_op(x, operands):
         y = run_device_op(x, operands)
-        return y, jnp.vdot(x, y)
+        dot = jnp.sum(x * y) if x.dtype == jnp.float64 else jnp.vdot(x, y)  # see _vdot2
+        return y, dot
 
     run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, (planes,))
 
@@ -315,7 +316,10 @@ def _init_stencil5_const_xla(st: Stencil5, dtype=None) -> DeviceOperator:
 
     def run_device_dot_op(x, operands):
         y = run_device_op(x, operands)
-        return y, jnp.vdot(x, y)
+        # sum over the 2-D field, not vdot: vdot's ravel triggers the emulated-f64 flat
+        # tile-padding blowup under x64-on-TPU (see solvers.cg._vdot2)
+        dot = jnp.sum(x * y) if x.dtype == jnp.float64 else jnp.vdot(x, y)
+        return y, dot
 
     run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, ())
 
@@ -387,10 +391,17 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
         print("[tpusparse] f64 Pallas gather does not compile on TPU; "
               "using the XLA gather path (csr-xla)", file=_sys.stderr)
         return _init_ell_xla(mat, dtype=dtype)
-    csr = _as_csr(mat)
-    ell = formats.csr_to_ell(csr)
+    if isinstance(mat, Stencil5):
+        # O(n) plane→ELL pack — the CSR materialization alone (2.1B-entry sort at 20480²)
+        # was the pack-time bottleneck for large stencil operands
+        ell = formats.stencil5_to_ell(mat)
+        nnz = int(np.count_nonzero(ell.val))
+    else:
+        csr = _as_csr(mat)
+        ell = formats.csr_to_ell(csr)
+        nnz = csr.nnz
     try:
-        packed = _gell.pack_gather_ell(ell.col, ell.val, csr.num_cols, dtype)
+        packed = _gell.pack_gather_ell(ell.col, ell.val, ell.num_cols, dtype)
     except _gell.GatherPackError as e:
         import sys as _sys
 
@@ -416,9 +427,9 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
     run_device, run_device_dot = _wrap_ops(run_device_op, run_device_dot_op, operands)
 
     return DeviceOperator(
-        name="csr", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
+        name="csr", num_rows=ell.num_rows, num_cols=ell.num_cols, nnz=nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
-        grid_size=csr.grid_size,
+        grid_size=ell.grid_size,
         _buffers={"loc": packed.loc, "val": packed.vals, "dtype": dtype,
                   "span": packed.span, "swin": packed.swin,
                   "nb": packed.nb, "width": packed.width},
@@ -432,12 +443,17 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
     runs as an XLA gather — correct for arbitrary matrices, and the fallback/oracle for
     the hand Pallas gather kernel (_init_gather_ell)."""
     dtype = dtype or _default_dtype()
-    csr = _as_csr(mat)
-    ell = formats.csr_to_ell(csr, width)
-    idx_dtype = jnp.int32 if csr.num_cols < 2 ** 31 else jnp.int64
+    if isinstance(mat, Stencil5) and width is None:
+        ell = formats.stencil5_to_ell(mat)  # O(n) plane pack, no CSR intermediate
+        nnz = int(np.count_nonzero(ell.val))
+    else:
+        csr = _as_csr(mat)
+        ell = formats.csr_to_ell(csr, width)
+        nnz = csr.nnz
+    idx_dtype = jnp.int32 if ell.num_cols < 2 ** 31 else jnp.int64
     cols_d = jnp.asarray(ell.col, idx_dtype)
     vals_d = jnp.asarray(ell.val, dtype)
-    fshape = _field_shape_for(csr.num_rows)
+    fshape = _field_shape_for(ell.num_rows)
 
     def run_device_op(x, operands):
         cols, vals = operands
@@ -453,9 +469,9 @@ def _init_ell_xla(mat, dtype=None, width: Optional[int] = None) -> DeviceOperato
                                            (cols_d, vals_d))
 
     return DeviceOperator(
-        name="csr", num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
+        name="csr", num_rows=ell.num_rows, num_cols=ell.num_cols, nnz=nnz,
         field_shape=fshape, run_device=run_device, run_device_dot=run_device_dot,
-        grid_size=csr.grid_size, _buffers={"col": cols_d, "val": vals_d, "dtype": dtype},
+        grid_size=ell.grid_size, _buffers={"col": cols_d, "val": vals_d, "dtype": dtype},
         operands=(cols_d, vals_d), run_device_op=run_device_op,
         run_device_dot_op=run_device_dot_op,
     )

@@ -95,7 +95,7 @@ def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,
             else:
                 x = x + alpha * p
                 r = r - alpha * ap
-                rr_new = jnp.vdot(r, r)
+                rr_new = _vdot2(r, r)
         beta = (rr_new / rr).astype(x.dtype)
         with profiling.scope("BLAS_Update_P"):
             if use_pallas_blas1:
@@ -115,6 +115,19 @@ def _resolve_blas1(use_pallas_blas1):
     if use_pallas_blas1 is None:
         return jax.default_backend() == "cpu"
     return use_pallas_blas1
+
+
+def _vdot2(a, b):
+    """<a, b> for solver fields without flattening f64.  ``jnp.vdot`` ravels its inputs;
+    under f64 EMULATION on TPU a flat f64 array lowers to f32[2, n] whose 2-sublane dim
+    tile-pads to 8 (T(8,128)) — 4x phantom HBM (32 GB at 16384^2, measured compile log),
+    and layout assignment propagates that flat layout into the while-loop state.  Summing
+    over the native 2-D field keeps the emulated layout tile-friendly.  f32 keeps
+    jnp.vdot bit-exactly: committed artifacts' iteration counts depend on its reduction
+    order."""
+    if a.dtype == jnp.float64 and a.ndim >= 2:
+        return jnp.sum(a * b)
+    return jnp.vdot(a, b)
 
 
 def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = None,
@@ -264,7 +277,7 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
             with profiling.scope(profiling.PHASE_AXPY):
                 x = x + alpha * p
                 r = r - alpha * ap
-                rr_new = jnp.vdot(r, r)
+                rr_new = _vdot2(r, r)
             return x, r, p, rr_new, rr, k + 1
 
         return step
@@ -278,7 +291,7 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
             if use_pallas_blas1:
                 rr0 = blas1.dot_pallas(r0, r0, interpret=interpret)
             else:
-                rr0 = jnp.vdot(r0, r0)
+                rr0 = _vdot2(r0, r0)
             bb = rr0
         else:
             ax0 = spmv(x0, operands)
@@ -288,9 +301,9 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
                 r0, rr0 = blas1.axpby_dot_pallas(one, b, -one, ax0, interpret=interpret)
             else:
                 r0 = b - ax0
-                rr0 = jnp.vdot(r0, r0)
+                rr0 = _vdot2(r0, r0)
             # the criterion is relative to ‖b‖, NOT ‖r0‖ (they differ when x0 ≠ 0)
-            bb = jnp.vdot(b, b).astype(rr0.dtype)
+            bb = _vdot2(b, b).astype(rr0.dtype)
         b_norm = jnp.sqrt(bb)
         tol2 = (tolerance * tolerance) * bb  # converged ⇔ rr < tol²·‖b‖²
 
@@ -378,7 +391,7 @@ def cg_solve_stepped(spmv_dot: Callable, b, x0=None, *, config: Optional[CGConfi
         else:
             x = x + alpha * p
             r = r - alpha * ap
-            rr_new = jnp.vdot(r, r)
+            rr_new = _vdot2(r, r)
         jax.block_until_ready(r)
         stats.blas1_time_ms += (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
