@@ -145,3 +145,28 @@ def test_stencil5_to_ell_matches_csr_path():
         assert e1.width == e2.width, (st.grid_size, e1.width, e2.width)
         np.testing.assert_array_equal(e1.col, e2.col)
         np.testing.assert_allclose(e1.val, e2.val, rtol=0, atol=0)
+
+
+def test_stencil5_const_to_ell_analytic_matches_general():
+    """The planes-free analytic ELL (gen:<g> CLI path) ≡ the general masked path
+    bit-for-bit: same columns, values, width, and boundary pad policy."""
+    from tpusparse import formats, generate
+
+    for g in (3, 4, 7, 16, 33):
+        st_free = formats.Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
+        e1 = formats.stencil5_to_ell(st_free)  # analytic fast path
+        e2 = formats.stencil5_to_ell(generate.make_stencil5(g, dtype=np.float32))
+        assert e1.width == e2.width == 5
+        np.testing.assert_array_equal(e1.col, e2.col)
+        np.testing.assert_allclose(e1.val, e2.val, rtol=0, atol=0)
+        assert e1.val.dtype == e2.val.dtype == np.float32
+    # degenerate coefficients / tiny grids take the general path (same results)
+    for g, const in ((2, (5.0, -1.0)), (1, (5.0, -1.0)), (4, (5.0, 0.0))):
+        st_free = formats.Stencil5(grid_size=g, planes=None, constant=const)
+        e1 = formats.stencil5_to_ell(st_free)
+        e2 = formats.csr_to_ell(
+            formats.stencil5_to_csr(generate.make_stencil5(g, *const,
+                                                           dtype=np.float32)))
+        assert e1.width == e2.width
+        np.testing.assert_array_equal(e1.col, e2.col)
+        np.testing.assert_allclose(e1.val, e2.val, rtol=0, atol=0)

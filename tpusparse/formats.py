@@ -302,17 +302,21 @@ def stencil5_to_dia(st: Stencil5) -> DIAMatrix:
     n = g * g
     if st.planes is not None:
         planes = np.asarray(st.planes)
+        data = np.stack([planes[p].reshape(n) for p in (N, W, C, E, S)])
     else:
         if st.constant is None:
             raise ValueError("Stencil5 needs planes or constant coefficients")
         diag, offdiag = st.constant
-        planes = np.zeros((5, g, g))
-        planes[C] = diag
-        planes[N, 1:, :] = offdiag
-        planes[S, :-1, :] = offdiag
-        planes[W, :, 1:] = offdiag
-        planes[E, :, :-1] = offdiag
-    data = np.stack([planes[p].reshape(n) for p in (N, W, C, E, S)])
+        # planes-free constant operand: write the (5, n) diagonal rows directly — no
+        # (5, g, g) f64 intermediate (33.6 GB of host traffic at 20480² on this host).
+        # f32 is exact for caller-supplied constants that are f32-representable (the
+        # benchmark's 5/−1 are); the operator packs cast to the op dtype regardless.
+        data = np.full((5, n), offdiag, dtype=np.float32)
+        data[2] = diag  # row order is N, W, C, E, S — C is offset 0 at index 2
+        data[0, :g] = 0.0        # first grid row: no north neighbor
+        data[4, n - g:] = 0.0    # last grid row: no south neighbor
+        data[1, 0::g] = 0.0      # j == 0: no west neighbor
+        data[3, g - 1::g] = 0.0  # j == g−1: no east neighbor
     return DIAMatrix(
         num_rows=n, num_cols=n,
         offsets=np.array([-g, -1, 0, 1, g], dtype=np.int64),
@@ -334,6 +338,14 @@ def stencil5_to_ell(st: Stencil5) -> ELLMatrix:
     if st.planes is None:
         if st.constant is None:
             raise ValueError("Stencil5 needs planes or constant coefficients")
+        diag, offdiag = st.constant
+        if g >= 3 and diag != 0.0 and offdiag != 0.0:
+            # constant-coefficient planes-free operand (the gen:<g> CLI path): the ELL
+            # layout is fully analytic — write it directly at O(output) memory traffic.
+            # The general path below first MATERIALIZES the (5, g, g) planes and then
+            # runs five (n,)-sized mask/cumsum/scatter passes; measured on the 1-core
+            # host at 15360²: 274 s planes + >25 min of passes, vs ~2 min here.
+            return _stencil5_const_to_ell(g, float(diag), float(offdiag))
         from .generate import make_stencil5
 
         st = make_stencil5(g, *st.constant, dtype=np.float32)
@@ -367,6 +379,57 @@ def stencil5_to_ell(st: Stencil5) -> ELLMatrix:
         pad_mask = np.arange(w)[None, :] >= lens[:, None]
         col = np.where(pad_mask, last[:, None], col)
     return ELLMatrix(num_rows=n, num_cols=n, width=w, col=col, val=val, grid_size=g)
+
+
+def _stencil5_const_to_ell(g: int, diag: float, offdiag: float) -> ELLMatrix:
+    """Analytic ELL of the constant-coefficient 5-point stencil (g ≥ 3, both coefficients
+    nonzero — callers fall back to the general path otherwise).
+
+    Interior rows have the fixed layout col = r + (−g, −1, 0, +1, +g), val =
+    (o, o, d, o, o) in the globally-sorted N, W, C, E, S plane order — written for ALL
+    rows in one arithmetic pass; only the 4g − 4 boundary rows (clipped neighbors) are
+    then rewritten through the same mask/cumsum/pad machinery the general path applies
+    everywhere.  Bit-equal to the general path (asserted in tests), including the
+    pad-with-last-real-column policy of ``csr_to_ell``."""
+    n = g * g
+    r = np.arange(n, dtype=np.int64)
+    col = np.empty((n, 5), np.int64)
+    col[:, 0] = r - g
+    col[:, 1] = r - 1
+    col[:, 2] = r
+    col[:, 3] = r + 1
+    col[:, 4] = r + g
+    val = np.empty((n, 5), np.float32)
+    val[:, 0] = offdiag
+    val[:, 1] = offdiag
+    val[:, 2] = diag
+    val[:, 3] = offdiag
+    val[:, 4] = offdiag
+    edge = np.concatenate([
+        np.arange(g, dtype=np.int64),                    # i = 0 (incl. both corners)
+        np.arange(n - g, n, dtype=np.int64),             # i = g−1 (incl. both corners)
+        np.arange(g, n - g, g, dtype=np.int64),          # j = 0, 0 < i < g−1
+        np.arange(2 * g - 1, n - g, g, dtype=np.int64),  # j = g−1, 0 < i < g−1
+    ])
+    ei, ej = edge // g, edge % g
+    cand = np.stack([edge - g, edge - 1, edge, edge + 1, edge + g], axis=1)
+    ok = np.stack([ei > 0, ej > 0, np.ones_like(edge, bool), ej < g - 1, ei < g - 1],
+                  axis=1)
+    vals5 = np.array([offdiag, offdiag, diag, offdiag, offdiag], np.float32)
+    m = edge.shape[0]
+    lens = ok.sum(axis=1)
+    pos = np.cumsum(ok, axis=1) - 1
+    ecol = np.zeros((m, 5), np.int64)
+    evalv = np.zeros((m, 5), np.float32)
+    rr = np.broadcast_to(np.arange(m)[:, None], (m, 5))[ok]
+    ecol[rr, pos[ok]] = cand[ok]
+    evalv[rr, pos[ok]] = np.broadcast_to(vals5, (m, 5))[ok]
+    last = ecol[np.arange(m), lens - 1]  # lens ≥ 3 for g ≥ 2: always a real column
+    pad_mask = np.arange(5)[None, :] >= lens[:, None]
+    ecol = np.where(pad_mask, last[:, None], ecol)
+    col[edge] = ecol
+    val[edge] = evalv
+    return ELLMatrix(num_rows=n, num_cols=n, width=5, col=col, val=val, grid_size=g)
 
 
 def csr_to_stencil5(csr: CSRMatrix, grid_size: Optional[int] = None) -> Stencil5:
