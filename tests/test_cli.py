@@ -42,6 +42,25 @@ def test_spmv_bench_end_to_end(tmp_path, capsys):
     assert len(open(csv).read().strip().splitlines()) == 3
 
 
+def test_spmv_bench_resident_x(tmp_path, capsys):
+    """--resident-x (device-resident run loop, the reference's actual timed-region shape)
+    must produce the same checksums as the transfer-inclusive default and label the
+    artifact's run_protocol accordingly."""
+    jout = str(tmp_path / "r.json")
+    rc = spmv_bench.main(["gen:12", "--mode=stencil5", "--runs=3", "--warmup=1",
+                          "--resident-x", f"--json={jout}"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rc2 = spmv_bench.main(["gen:12", "--mode=stencil5", "--runs=3", "--warmup=1"])
+    assert rc2 == 0
+    out2 = capsys.readouterr().out
+    sums = [line for line in (out + out2).splitlines() if line.startswith("Sum(y)")]
+    assert len(sums) == 2 and len(set(sums)) == 1
+    with open(str(tmp_path / "r_stencil5.json")) as f:
+        r = json.load(f)
+    assert r["benchmark"]["run_protocol"] == "device-resident"
+
+
 def test_spmv_bench_gen_spec(capsys):
     rc = spmv_bench.main(["gen:12", "--mode=stencil5-const", "--runs=3", "--warmup=0"])
     assert rc == 0

@@ -27,13 +27,20 @@ def _now_iso() -> str:
 def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
                      stats: BenchmarkStats, sysinfo: Dict[str, Any],
                      sum_y: float, norm2_y: float,
-                     kernel_ms: float = 0.0) -> Dict[str, Any]:
+                     kernel_ms: float = 0.0,
+                     run_protocol: str = "transfer-inclusive") -> Dict[str, Any]:
     return {
         "timestamp": _now_iso(),
         "benchmark_type": "spmv",
         "device": sysinfo,
         "benchmark": {
             "mode": mode,
+            # what the run-time distribution below measures: "transfer-inclusive" wraps
+            # per-run H2D/D2H (strict wall protocol); "device-resident" is the
+            # reference's run-loop shape (upload once, cudaEvent-style timed applies,
+            # read back once — spmv_cusparse_csr.cu:234-264).  kernel-time metrics are
+            # chained-slope device time under either protocol.
+            "run_protocol": run_protocol,
             "matrix": {
                 "name": matrix_name,
                 "rows": op.num_rows,

@@ -35,6 +35,13 @@ def build_parser():
     p.add_argument("--ceiling-probe", action="store_true",
                    help="measure the achievable HBM ceiling (bench.probes) and report "
                         "roofline_fraction_achievable alongside the nominal fraction")
+    p.add_argument("--resident-x", action="store_true",
+                   help="keep x device-resident across timed runs (upload once, read y "
+                        "back once) — the reference's actual timed region "
+                        "(spmv_cusparse_csr.cu:234-264: cudaEvents wrap the kernel; "
+                        "transfers sit outside the run loop).  Default timing includes "
+                        "per-run H2D/D2H, which dominates at large grids on tunneled "
+                        "deployments (~70 s/run at 20480²)")
     return p
 
 
@@ -112,10 +119,20 @@ def main(argv=None) -> int:
             rc = 1
             continue
         x = np.ones(op.num_cols)
-        bench = stats.benchmark_with_stats(
-            lambda: op.run_timed(x)[1], num_runs=args.runs, warmup=args.warmup
-        )
-        y, _ = op.run_timed(x)
+        if args.resident_x:
+            # one H2D before the loop, one D2H after — reference run-loop shape
+            x_dev = op.as_field(np.asarray(x, dtype=np.dtype(op._run_dtype())))
+            bench = stats.benchmark_with_stats(
+                lambda: op.run_timed_resident(x_dev)[1],
+                num_runs=args.runs, warmup=args.warmup,
+            )
+            y_dev, _ = op.run_timed_resident(x_dev)
+            y = np.asarray(y_dev).reshape(-1)[: op.num_rows]
+        else:
+            bench = stats.benchmark_with_stats(
+                lambda: op.run_timed(x)[1], num_runs=args.runs, warmup=args.warmup
+            )
+            y, _ = op.run_timed(x)
         default_np = (np.float64 if info["backend"] == "cpu" and info["x64_enabled"]
                       else np.float32)
         itemsize = np.dtype(
@@ -137,6 +154,7 @@ def main(argv=None) -> int:
             mode=mode, matrix_name=name, op=op, metrics=mets, stats=bench,
             sysinfo=info, sum_y=float(y.sum()), norm2_y=float(np.linalg.norm(y)),
             kernel_ms=kernel_ms,
+            run_protocol="device-resident" if args.resident_x else "transfer-inclusive",
         )
         export.print_human_spmv(result)
         print()

@@ -13,6 +13,8 @@ g=20k the reference must write ~2·10⁹ ASCII lines (~60 GB); here the same ope
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .formats import C, E, N, S, Stencil5, W
@@ -50,21 +52,45 @@ def make_stencil5(
 def make_stencil5_planes_device(grid_size: int, diag=DEFAULT_DIAG, offdiag=DEFAULT_OFFDIAG,
                                 dtype=None):
     """Synthesize the (5, g, g) coefficient planes directly as a jnp array on device —
-    the large-grid path that bypasses host memory and .mtx entirely."""
+    the large-grid path that bypasses host memory and .mtx entirely.
+
+    The synthesis MUST run as one jitted program: executed eagerly, the five (g, g)
+    outer products materialize individually BEFORE the stack copies them — a 2× HBM
+    transient (16.8 GB at 20480² f32) that OOMs the 16 GB chip even though the final
+    (5, g, g) operand (8.4 GB) fits.  Under jit XLA fuses mask/outer/stack into a single
+    kernel whose peak footprint is the output alone (measured: 20480² f32 planes
+    synthesize in-place on v5e where the eager form ResourceExhausted'd)."""
     import jax.numpy as jnp
 
     g = int(grid_size)
-    dtype = dtype or jnp.float32
-    ii = jnp.arange(g)
-    row_mask = lambda lo, hi: ((ii >= lo) & (ii < hi)).astype(dtype)  # noqa: E731
-    ones = jnp.ones((g,), dtype)
-    # outer products give the masked planes without materializing host arrays
-    n_plane = offdiag * jnp.outer(row_mask(1, g), ones)
-    s_plane = offdiag * jnp.outer(row_mask(0, g - 1), ones)
-    w_plane = offdiag * jnp.outer(ones, row_mask(1, g))
-    e_plane = offdiag * jnp.outer(ones, row_mask(0, g - 1))
-    c_plane = diag * jnp.outer(ones, ones)
-    return jnp.stack([n_plane, w_plane, c_plane, e_plane, s_plane])
+    dtype = jnp.dtype(dtype or jnp.float32)
+    return _synth_planes_jit(g, jnp.dtype(dtype).name,
+                             jnp.asarray(diag, dtype), jnp.asarray(offdiag, dtype))
+
+
+@functools.lru_cache(maxsize=1)
+def _synth_planes_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(0, 1))
+    def _synth(g, dtype_name, diag, offdiag):
+        dtype = jnp.dtype(dtype_name)
+        ii = jnp.arange(g)
+        row_mask = lambda lo, hi: ((ii >= lo) & (ii < hi)).astype(dtype)  # noqa: E731
+        ones = jnp.ones((g,), dtype)
+        n_plane = offdiag * jnp.outer(row_mask(1, g), ones)
+        s_plane = offdiag * jnp.outer(row_mask(0, g - 1), ones)
+        w_plane = offdiag * jnp.outer(ones, row_mask(1, g))
+        e_plane = offdiag * jnp.outer(ones, row_mask(0, g - 1))
+        c_plane = diag * jnp.outer(ones, ones)
+        return jnp.stack([n_plane, w_plane, c_plane, e_plane, s_plane])
+
+    return _synth
+
+
+def _synth_planes_jit(g, dtype_name, diag, offdiag):
+    return _synth_planes_fn()(g, dtype_name, diag, offdiag)
 
 
 def write_matrix_market_stencil5(path: str, grid_size: int, diag: float = DEFAULT_DIAG,

@@ -119,6 +119,21 @@ class DeviceOperator:
         ms = (time.perf_counter() - t0) * 1e3
         return y_host, ms
 
+    def run_timed_resident(self, x_field_dev):
+        """Device-resident timed run — the reference's ACTUAL timed region
+        (spmv_cusparse_csr.cu:234-264: x is uploaded ONCE before the run loop and y read
+        back once after it; the per-run cudaEvent window wraps the kernel alone).
+        ``run_timed`` above is the stricter transfer-inclusive wall protocol; on tunneled
+        deployments its per-run H2D+D2H dominates at large grids (~70 s/run at 20480² —
+        the distribution stops saying anything about the device).  Here the timed region
+        is apply + one scalar sync (~25 ms round-trip floor on this deployment,
+        disclosed in docs/PERFORMANCE.md); bandwidth/GFLOPS metrics continue to come from
+        the chained-slope ``kernel_time_ms`` under either protocol."""
+        t0 = time.perf_counter()
+        y = self.run_device(x_field_dev)
+        float(jnp.sum(y))  # force completion: block_until_ready may not block here
+        return y, (time.perf_counter() - t0) * 1e3
+
     def kernel_time_ms(self, chain: int = 24, reps: int = 3) -> float:
         """Device-only kernel time — the analog of the reference's cudaEvent window around
         the kernel alone (spmv_cusparse_csr.cu:247-253): H2D/D2H and dispatch excluded.
