@@ -289,3 +289,27 @@ def test_slope_noise_guard_falls_back_to_chain_average():
     assert slope_seconds(0.5, 0.4, 2, 8) == pytest.approx(0.4 / 8)   # negative slope
     assert slope_seconds(0.5, 0.5001, 2, 8) == pytest.approx(0.5001 / 8)  # ~zero slope
     assert slope_seconds(0.2, 0.8, 2, 8) == pytest.approx(0.1)       # healthy slope
+
+
+def test_chain_program_matches_sequential_applies():
+    """kernel_time_ms's jitted fori_loop chain (the footprint-bounded protocol that
+    replaced host-loop chaining: ~10 enqueued launches × 1.68 GB outputs OOM'd 20480²)
+    must compute exactly the k-fold apply, and free() must drop it."""
+    import numpy as np
+
+    from tpusparse import formats, ops
+
+    st = formats.Stencil5(grid_size=12, planes=None, constant=(5.0, -1.0))
+    for mode in ("stencil5", "csr", "dia"):
+        op = ops.get_operator(mode, st)
+        x = op.ones_b(op._run_dtype())
+        prog = op._chain_program()
+        assert prog is not None
+        got = prog(x, op.operands, k=3)
+        ref = x
+        for _ in range(3):
+            ref = op.run_device(ref)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+        assert op.kernel_time_ms(chain=4, reps=1) > 0
+        op.free()
+        assert getattr(op, "_chain_jit", None) is None

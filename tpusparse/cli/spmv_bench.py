@@ -128,6 +128,11 @@ def main(argv=None) -> int:
             )
             y_dev, _ = op.run_timed_resident(x_dev)
             y = np.asarray(y_dev).reshape(-1)[: op.num_rows]
+            # drop the resident field + result BEFORE kernel_time_ms: at 20480² these
+            # two 1.68 GB buffers alongside the 8.4 GB plane operand and the chain
+            # program's double-buffered carry are the difference between fitting and
+            # ResourceExhausted on the 16 GB chip
+            del x_dev, y_dev
         else:
             bench = stats.benchmark_with_stats(
                 lambda: op.run_timed(x)[1], num_runs=args.runs, warmup=args.warmup

@@ -33,6 +33,7 @@ Operator contract: ``init(matrix-ish) -> DeviceOperator`` with
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -152,6 +153,7 @@ class DeviceOperator:
         v = self.run_device(x)
         float(jnp.sum(v))
         probe_ms = (time.perf_counter() - t0) * 1e3
+        del v  # 1.68 GB at 20480² — must not stay live alongside the chain's carry
         # scale the chain to the operator's speed so slow generic paths (gather/bcoo at
         # hundreds of ms per apply) don't burn minutes: keep a rep under ~1 s.
         k_hi = max(4, min(chain, int(1000 / max(probe_ms, 1.0))))
@@ -159,24 +161,69 @@ class DeviceOperator:
         if probe_ms > 300:
             reps = min(reps, 2)
 
+        # Chain INSIDE one jitted program when the operator has an explicit-operand form:
+        # a lax.fori_loop carry is double-buffered by XLA, so the in-flight footprint is
+        # operand + 2 fields regardless of k.  Host-loop chaining instead enqueues up to
+        # ~10 launches ahead through the tunnel, each holding a live output buffer —
+        # measured ResourceExhausted at 20480² (1.68 GB/field) where the operand itself
+        # fits with 7 GB to spare.  One dispatch per chain also removes per-launch
+        # dispatch noise from the slope.
+        prog = self._chain_program()
+
         def chain_run(k):
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                v = x
-                for _ in range(k):
-                    v = self.run_device(v)
+                if prog is not None:
+                    v = prog(x, self.operands, k=k)
+                else:
+                    v = x
+                    for _ in range(k):
+                        v = self.run_device(v)
                 float(jnp.sum(v))
                 best = min(best, time.perf_counter() - t0)
             return best
 
         from .bench.probes import slope_seconds
 
+        if prog is not None:
+            # compile both chain lengths before timing
+            float(jnp.sum(prog(x, self.operands, k=k_lo)))
+            float(jnp.sum(prog(x, self.operands, k=k_hi)))
         t_lo = chain_run(k_lo)
         t_hi = chain_run(k_hi)
         # shared noise guard: a jitter-dominated negative slope falls back to the
         # (kernel-unflattering) chain average instead of exporting absurd numbers
         return slope_seconds(t_lo, t_hi, k_lo, k_hi) * 1e3
+
+    def _chain_program(self):
+        """Jitted k-apply chain (lax.fori_loop over run_device_op) — see kernel_time_ms.
+        Returns None for closure-only operators (no explicit-operand form)."""
+        if self.run_device_op is None:
+            return None
+        cached = getattr(self, "_chain_jit", None)
+        if cached is None:
+            import jax
+
+            rop = self.run_device_op
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def chain_prog(x, operands, k):
+                # STATIC unroll, not lax.fori_loop: a while-loop carry must alias the
+                # loop parameter's buffer, so XLA copies the body's result back into the
+                # carry slot EVERY iteration — one full extra field read+write per apply
+                # (measured on v5e at 20480²: const kernel 10.4 ms/apply under fori_loop
+                # vs ~5.2 expected; the copy is 2 words/pt, exactly doubling its
+                # traffic).  Unrolled straight-line code lets buffer assignment
+                # ping-pong two field buffers with no copy and no aliasing constraint.
+                v = x
+                for _ in range(k):
+                    v = rop(v, operands)
+                return v
+
+            object.__setattr__(self, "_chain_jit", chain_prog)
+            cached = chain_prog
+        return cached
 
     def _run_dtype(self):
         return self._buffers.get("dtype", _default_dtype()) if isinstance(
@@ -196,6 +243,10 @@ class DeviceOperator:
         self.run_device_op = _freed
         self.run_device_dot_op = _freed
         self.run_fused_pupdate_op = None
+        # the chain program's closure captures the pre-free run_device_op (and through
+        # it the operands) — dropping it here is what actually releases that memory
+        if getattr(self, "_chain_jit", None) is not None:
+            object.__setattr__(self, "_chain_jit", None)
 
 
 # ---------------------------------------------------------------------------
