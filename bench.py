@@ -47,11 +47,16 @@ def bench_cg_20k() -> dict:
     b = jax.ShapeDtypeStruct((g, g), jnp.float32)
     cfg = cg.CGConfig(max_iters=100, tolerance=1e-6)
 
-    def run_solves(operator, label):
+    from tpusparse.bench.stats import compute_stats
+
+    def run_solves(operator, label, warmup=3, runs=10):
+        # the framework's own protocol (bench/stats.py, parity with the reference's
+        # benchmark_stats.cu:39-89): warmups discarded, 10 timed runs, 2σ outlier
+        # rejection, median of the valid runs
         times = []
-        for i in range(4):  # 1 warmup (compile) + 3 timed
+        for i in range(warmup + runs):
             x, stats = cg.cg_solve(operator, b, config=cfg, b_is_ones=True)
-            if i:
+            if i >= warmup:
                 times.append(stats.total_time_ms)
             if not stats.converged:
                 raise RuntimeError(f"CG did not converge ({label})")
@@ -60,10 +65,10 @@ def bench_cg_20k() -> dict:
                     f"iteration-count parity broken ({label}): "
                     f"{stats.iterations} != {REF_ITERS}")
             del x
-        times.sort()
-        return times[len(times) // 2]
+        return compute_stats(times)
 
-    med = run_solves(op, "stencil5-const")
+    bstats = run_solves(op, "stencil5-const")
+    med = bstats.median_ms
     print(f"[bench] cg 20480^2 stencil5-const f32: median {med:.1f} ms, "
           f"{REF_ITERS} iterations (ref A100 f64: {REF_20K_MS} ms)", file=sys.stderr)
     # SAME-byte-model companion (round-2 review: the headline crosses byte model —
@@ -79,7 +84,7 @@ def bench_cg_20k() -> dict:
         st2 = Stencil5(grid_size=g, planes=planes_bf16, constant=(5.0, -1.0))
         op2 = ops.get_operator("stencil5-bf16c", st2)
         del st2, planes_bf16
-        med_bf16c = run_solves(op2, "stencil5-bf16c")
+        med_bf16c = run_solves(op2, "stencil5-bf16c").median_ms
         op2.free()
         print(f"[bench] cg 20480^2 stencil5-bf16c (values-carrying, same-traffic-class): "
               f"median {med_bf16c:.1f} ms", file=sys.stderr)
@@ -95,6 +100,9 @@ def bench_cg_20k() -> dict:
         "mode": "stencil5-const",
         "dtype": "float32",
         "iterations": REF_ITERS,
+        "total_runs": bstats.total_runs,
+        "valid_runs": bstats.valid_runs,
+        "std_ms": round(bstats.std_ms, 2),
         **({"values_carrying_bf16c_ms": round(med_bf16c, 1),
             "vs_baseline_bf16c": round(REF_20K_MS / med_bf16c, 4)}
            if med_bf16c else {}),

@@ -313,3 +313,71 @@ def test_chain_program_matches_sequential_applies():
         assert op.kernel_time_ms(chain=4, reps=1) > 0
         op.free()
         assert getattr(op, "_chain_jit", None) is None
+
+
+def test_timing_validity_flags():
+    """Round-3 review: artifacts reported up to 233% of HBM peak with no caveat.  Metrics
+    must now flag sub-ms kernel times (slope noise) and >100%-of-peak bandwidths, and the
+    export must carry the flags."""
+    from tpusparse import formats, ops
+    from tpusparse.bench import metrics
+
+    st = formats.Stencil5(grid_size=16, planes=None, constant=(5.0, -1.0))
+    op = ops.get_operator("stencil5", st)
+    # sub-ms kernel time on an accelerator kind -> noise flag
+    m = metrics.calculate_spmv_metrics(
+        op, 0.05, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
+    assert any("noise" in f for f in m.timing_flags)
+    # impossibly fast -> exceeds-nominal-peak flag (16*16*7*4 B in 1e-6 ms >> 819 GB/s)
+    m2 = metrics.calculate_spmv_metrics(
+        op, 1e-6, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
+    assert any("exceeds_nominal_peak" in f for f in m2.timing_flags)
+    # healthy time -> no flags
+    m3 = metrics.calculate_spmv_metrics(
+        op, 100.0, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
+    assert m3.timing_flags == ()
+    # flags survive into the JSON dict and the human report
+    from tpusparse.bench import export
+    from tpusparse.bench.stats import compute_stats
+
+    res = export.spmv_result_dict(
+        mode="stencil5", matrix_name="t", op=op, metrics=m2,
+        stats=compute_stats([1.0, 1.0, 1.0]), sysinfo={"device_kind": "TPU v5 lite"},
+        sum_y=0.0, norm2_y=0.0)
+    assert res["benchmark"]["performance"]["timing_flags"]
+    res_ok = export.spmv_result_dict(
+        mode="stencil5", matrix_name="t", op=op, metrics=m3,
+        stats=compute_stats([1.0, 1.0, 1.0]), sysinfo={"device_kind": "TPU v5 lite"},
+        sum_y=0.0, norm2_y=0.0)
+    assert "timing_flags" not in res_ok["benchmark"]["performance"]
+
+
+def test_dispatch_correction_marks_clipped_buckets():
+    """A bucket whose raw time is below the measured dispatch floor exports as 0.0 AND is
+    named in dispatch_clipped — distinguishable from a genuinely-zero bucket."""
+    from tpusparse.solvers.cg import CGStats
+    from tpusparse.solvers.cg_sharded import _apply_dispatch_correction
+
+    st = CGStats(halo_time_ms=0.5, spmv_time_ms=50.0, blas1_time_ms=10.0,
+                 allreduce_time_ms=1.0)
+    n_block = {"halo": 10, "spmv": 10, "blas1": 10}
+    _apply_dispatch_correction(st, n_block, n_read_calls=10,
+                               disp_block=0.2, disp_read=0.05)
+    assert st.halo_time_ms == 0.0 and "halo" in st.dispatch_clipped
+    assert st.spmv_time_ms == pytest.approx(48.0)
+    assert "spmv" not in st.dispatch_clipped and "blas1" not in st.dispatch_clipped
+    assert st.allreduce_time_ms == pytest.approx(0.5)
+    # the clipped marker reaches the export
+    from tpusparse.bench import export
+
+    class _Op:
+        num_rows = num_cols = 4
+        nnz = 4
+        grid_size = 2
+
+    st.dispatch_block_ms = 0.2
+    st.dispatch_readback_ms = 0.05
+    res = export.cg_result_dict(
+        solver="s", mode="m", matrix_name="t", op=_Op(), cg_stats=st,
+        bench_stats=None, sysinfo={}, sum_x=0.0, norm2_x=0.0)
+    assert res["timing"]["dispatch_clipped_buckets"] == "halo"

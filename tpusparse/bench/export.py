@@ -72,6 +72,11 @@ def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
                     else {}
                 ),
                 "dtype": metrics.dtype,
+                # non-empty ⇒ the bandwidth/GFLOPS above are NOT valid roofline claims
+                # (sub-ms slope noise or >100%-of-peak impossibility); see
+                # metrics.MIN_VALID_KERNEL_MS
+                **({"timing_flags": list(metrics.timing_flags)}
+                   if getattr(metrics, "timing_flags", ()) else {}),
             },
             "statistics": {
                 "total_runs": stats.total_runs,
@@ -117,6 +122,11 @@ def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
             cg_stats, "dispatch_readback_ms", 0.0):
         timing["dispatch_block_ms_per_call"] = cg_stats.dispatch_block_ms
         timing["dispatch_readback_ms_per_call"] = cg_stats.dispatch_readback_ms
+        # buckets exported as exactly 0.0 because their raw time fell BELOW the dispatch
+        # floor — "unresolvable beneath the launch floor", not "no time spent"
+        clipped = getattr(cg_stats, "dispatch_clipped", ())
+        if clipped:
+            timing["dispatch_clipped_buckets"] = ",".join(clipped)
     if extra_timing:
         timing.update(extra_timing)
     return {
@@ -216,6 +226,8 @@ def print_human_spmv(result: Dict[str, Any]) -> None:
     if p.get("roofline_fraction_achievable") is not None:
         print(f"                     {100 * p['roofline_fraction_achievable']:.1f}% of "
               f"measured-achievable ceiling ({p['achievable_gbs']:.1f} GB/s, probe-backed)")
+    for flag in p.get("timing_flags", ()):
+        print(f"  [TIMING-VALIDITY] {flag}")
     a = b["analysis"]
     print(f"Arithmetic intensity: {a['arithmetic_intensity']:.3f} FLOP/byte "
           f"[{a['bound_classification']}]")

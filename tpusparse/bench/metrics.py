@@ -131,6 +131,18 @@ class SpmvMetrics:
     # None when no probe was run.
     achievable_gbs: Optional[float] = None
     roofline_fraction_achievable: Optional[float] = None
+    # Timing-validity flags (round-3 review): non-empty means the bandwidth/GFLOPS above
+    # must NOT be read as a roofline claim.  Populated when the per-apply kernel time is
+    # too small for the chained-slope protocol to resolve (< MIN_VALID_KERNEL_MS) or when
+    # the implied bandwidth exceeds the nominal peak / measured ceiling (physically
+    # impossible — residual cross-apply fusion or noise).
+    timing_flags: tuple = ()
+
+
+# Below this per-apply time the chained-slope protocol is jitter-dominated on tunneled
+# deployments (±ms readback RTT vs sub-ms slope) — flagged, not refused, so small-grid
+# runs still report a number with an explicit caveat attached.
+MIN_VALID_KERNEL_MS = 0.5
 
 
 def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
@@ -145,6 +157,18 @@ def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
     bw = nbytes / t / 1e9 if t > 0 else 0.0
     ai = flops / nbytes if nbytes else 0.0
     peak_bw, peak_flops = chip_peaks(device_kind)
+    flags = []
+    if 0 < time_ms < MIN_VALID_KERNEL_MS:
+        flags.append(
+            f"kernel_time<{MIN_VALID_KERNEL_MS}ms: chained-slope noise-dominated; "
+            "bandwidth/GFLOPS indicative only")
+    if device_kind != "cpu" and bw > peak_bw:
+        flags.append(
+            f"implied_bw_exceeds_nominal_peak: {bw:.0f} > {peak_bw:.0f} GB/s — "
+            "physically impossible; timing invalid as a roofline claim")
+    elif achievable_gbs and bw > achievable_gbs:
+        flags.append(
+            f"implied_bw_exceeds_measured_ceiling: {bw:.0f} > {achievable_gbs:.0f} GB/s")
     ridge = peak_flops / peak_bw  # FLOPs per byte at the roofline ridge point
     if ai < 0.5 * ridge:
         bound = "memory-bound"
@@ -165,6 +189,7 @@ def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
         dtype={4: "float32", 8: "float64", 2: "bfloat16"}.get(dtype_itemsize, "?"),
         achievable_gbs=achievable_gbs,
         roofline_fraction_achievable=(bw / achievable_gbs if achievable_gbs else None),
+        timing_flags=tuple(flags),
     )
 
 

@@ -33,7 +33,13 @@ def build_parser():
                         "into their sharded layout)")
     p.add_argument("--chips", type=int, default=0, help="devices to use (default: all)")
     p.add_argument("--mode", default="stencil5",
-                   choices=["stencil5", "stencil5-bf16c", "stencil5-const", "csr"])
+                   choices=["stencil5", "stencil5-bf16c", "stencil5-const", "csr"],
+                   help="SpMV inside the sharded solve.  NOTE: sharded 'csr' is the "
+                        "generic band-local XLA-gather COMPARISON kernel (the role of the "
+                        "reference's in-solver csr_spmv_kernel, "
+                        "cg_solver_mgpu_partitioned.cu:40-56) — NOT the single-chip hand "
+                        "Pallas gather kernel; do not read its timings as that kernel "
+                        "sharded")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--maxiter", type=int, default=1000)
     p.add_argument("--json", default=None)
@@ -259,6 +265,11 @@ def main(argv=None) -> int:
         extra_timing={"num_chips": nchips,
                       **({"allgather_ms": allgather_ms}
                          if allgather_ms is not None else {}),
+                      # self-describing artifact: the sharded csr mode is the band-local
+                      # XLA-gather comparison kernel, not the Pallas gather kernel sharded
+                      **({"spmv_kernel": "band-local XLA gather (comparison kernel; "
+                          "not the single-chip Pallas gather)"}
+                         if op.mode == "csr" else {}),
                       # measured cross-process MAX/MIN + imbalance (reference
                       # CGStatsMultiGPU :749-800); absent in single-process runs
                       **(rank_times or {})},

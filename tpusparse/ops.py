@@ -216,9 +216,20 @@ class DeviceOperator:
                 # vs ~5.2 expected; the copy is 2 words/pt, exactly doubling its
                 # traffic).  Unrolled straight-line code lets buffer assignment
                 # ping-pong two field buffers with no copy and no aliasing constraint.
+                #
+                # FUSION FENCE between applies: for the pure-XLA modes (*-xla) nothing
+                # stops XLA from fusing apply k's elementwise work into apply k+1 —
+                # the chain then under-counts per-apply HBM traffic and the slope
+                # reports impossible bandwidths (round-3 artifacts showed up to 233%
+                # of HBM peak at small grids).  optimization_barrier forces each
+                # apply's result to materialize before the next consumes it — the
+                # analog of the reference's cudaEvent-around-the-kernel boundary
+                # (spmv_cusparse_csr.cu:247-253).  Pallas calls are already fusion
+                # boundaries; the barrier is a no-op there.
                 v = x
                 for _ in range(k):
                     v = rop(v, operands)
+                    v = jax.lax.optimization_barrier(v)
                 return v
 
             object.__setattr__(self, "_chain_jit", chain_prog)

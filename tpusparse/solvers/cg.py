@@ -68,6 +68,10 @@ class CGStats:
     # the work (communication/compute) rather than launch overhead.  Zero in fused runs.
     dispatch_block_ms: float = 0.0
     dispatch_readback_ms: float = 0.0
+    # buckets whose raw time fell BELOW the dispatch floor and were clipped to 0.0 by the
+    # correction — an exported 0.0 with the bucket named here means "unresolvable beneath
+    # the launch floor", not "no time spent" (round-3 review honesty patch)
+    dispatch_clipped: tuple = ()
 
 
 def make_cg_step(spmv_dot: Callable, *, use_pallas_blas1: bool = True,

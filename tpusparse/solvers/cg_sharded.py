@@ -542,12 +542,27 @@ def _apply_dispatch_correction(stats: CGStats, n_block_calls: dict, n_read_calls
                                disp_block: float, disp_read: float) -> None:
     """Subtract the measured per-call dispatch floors from the stepped phase buckets
     (floored at 0): the buckets then estimate communication/compute, not launch overhead.
-    The subtracted baselines stay visible in stats.dispatch_{block,readback}_ms."""
-    stats.halo_time_ms = max(0.0, stats.halo_time_ms - n_block_calls["halo"] * disp_block)
-    stats.spmv_time_ms = max(0.0, stats.spmv_time_ms - n_block_calls["spmv"] * disp_block)
-    stats.blas1_time_ms = max(0.0,
-                              stats.blas1_time_ms - n_block_calls["blas1"] * disp_block)
-    stats.allreduce_time_ms = max(0.0, stats.allreduce_time_ms - n_read_calls * disp_read)
+    The subtracted baselines stay visible in stats.dispatch_{block,readback}_ms, and any
+    bucket whose raw time fell below its floor (clipped to exactly 0.0) is NAMED in
+    stats.dispatch_clipped so exports can distinguish "beneath the launch floor" from
+    "no time spent" (round-3 review honesty patch)."""
+    clipped = []
+
+    def corrected(name, raw, floor):
+        if raw - floor < 0.0:
+            clipped.append(name)
+            return 0.0
+        return raw - floor
+
+    stats.halo_time_ms = corrected(
+        "halo", stats.halo_time_ms, n_block_calls["halo"] * disp_block)
+    stats.spmv_time_ms = corrected(
+        "spmv", stats.spmv_time_ms, n_block_calls["spmv"] * disp_block)
+    stats.blas1_time_ms = corrected(
+        "blas1", stats.blas1_time_ms, n_block_calls["blas1"] * disp_block)
+    stats.allreduce_time_ms = corrected(
+        "allreduce", stats.allreduce_time_ms, n_read_calls * disp_read)
+    stats.dispatch_clipped = tuple(clipped)
 
 
 def cg_solve_sharded_stepped(mesh: Mesh, grid_size: int, *, b=None,
