@@ -152,3 +152,95 @@ def test_gather_stencil_f32_vs_xla_oracle():
     y = np.asarray(op.from_field(op.run_device(op.as_field(x))), np.float64)
     yr = np.asarray(op_ref.from_field(op_ref.run_device(op_ref.as_field(x))), np.float64)
     np.testing.assert_allclose(y, yr, rtol=1e-5, atol=1e-5)
+
+
+class TestAffineVariant:
+    """Round-4 affine windowed variant (gather_ell.pack_gather_ell_affine): short residual
+    ladder for slope-1 banded matrices; auto-selected by ops._init_gather_ell."""
+
+    @_f64_kernels
+    def test_affine_matches_dense_stencil(self):
+        g = 81
+        st = formats.Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
+        ell = formats.stencil5_to_ell(st)
+        # toy grids route the block-0 back-reach to overflow: relax the cap so the
+        # affine kernel (and its overflow scatter path) is what actually runs
+        op = gather_ell.pack_gather_ell_affine(ell.col, ell.val, ell.num_cols,
+                                               jnp.float64, max_overflow_frac=0.5)
+        assert op.span <= gather_ell.AFFINE_DSPAN_MAX
+        assert op.orow.shape[0] > 0, "toy grid should exercise the overflow path"
+        x = np.random.RandomState(0).randn(g * g)
+        x128 = jnp.asarray(np.concatenate(
+            [x, np.zeros(op.x_rows * 128 - g * g)]).reshape(op.x_rows, 128))
+        y = gather_ell.spmv_gather_affine(op, x128)
+        ref = formats.stencil5_to_csr(st).to_dense() @ x
+        np.testing.assert_allclose(np.asarray(y).reshape(-1)[: g * g], ref,
+                                   rtol=1e-12, atol=1e-12)
+
+    @_f64_kernels
+    def test_affine_matches_ladder_random_banded(self):
+        csr = _random_banded_csr(2100, 64, 3, seed=7)
+        ell = formats.csr_to_ell(csr)
+        aff = gather_ell.pack_gather_ell_affine(ell.col, ell.val, ell.num_cols,
+                                                jnp.float64, max_overflow_frac=0.6)
+        lad = gather_ell.pack_gather_ell(ell.col, ell.val, ell.num_cols, jnp.float64)
+        x = np.random.RandomState(1).randn(csr.num_rows)
+
+        def run(op, fn):
+            x128 = jnp.asarray(np.concatenate(
+                [x, np.zeros(op.x_rows * 128 - csr.num_rows)]).reshape(op.x_rows, 128))
+            return np.asarray(fn(op, x128)).reshape(-1)[: csr.num_rows]
+
+        ya = run(aff, gather_ell.spmv_gather_affine)
+        yl = run(lad, gather_ell.spmv_gather_ell)
+        np.testing.assert_allclose(ya, yl, rtol=1e-12, atol=1e-12)
+
+    @_f64_kernels
+    def test_auto_selection_declines_on_small_back_reaching(self):
+        """Toy grids (one block) have O(block) back-reach overflow: auto must decline
+        affine and still produce the ladder pack, bit-equal results."""
+        st = formats.Stencil5(grid_size=64, planes=None, constant=(5.0, -1.0))
+        from tpusparse.ops import _init_gather_ell
+
+        op = _init_gather_ell(st, dtype=jnp.float64, variant="auto")
+        assert op._buffers["gather_variant"] == "ladder"
+        x = np.random.RandomState(2).randn(64 * 64)
+        y = np.asarray(op.from_field(op.run_device(op.as_field(x))))
+        ref = formats.stencil5_to_csr(st).to_dense() @ x
+        np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+
+    def test_affine_rejects_scattered(self):
+        """Random scattered columns are not affine-windowable: loud error, not silence."""
+        rng = np.random.RandomState(0)
+        n = 4096
+        col = rng.randint(0, n, size=(n, 3)).astype(np.int64)
+        val = rng.randn(n, 3)
+        with pytest.raises(gather_ell.GatherPackError):
+            gather_ell.pack_gather_ell_affine(np.sort(col, axis=1), val, n, jnp.float32)
+
+    @_f64_kernels
+    def test_affine_large_multiblock_auto_selected(self):
+        """A ≥2-block slope-1 banded matrix is the affine target class: auto must pick
+        affine (block-0 back-reach is a negligible overflow fraction there)."""
+        n = 70000  # > 2 blocks of 32768 rows
+        rng = np.random.RandomState(4)
+        off = np.array([-2, 0, 1])
+        cols = np.clip(np.arange(n).reshape(n, 1) + off, 0, n - 1)
+        vals = rng.randn(n, 3)
+        coo = formats.COOMatrix(num_rows=n, num_cols=n,
+                                row=np.repeat(np.arange(n, dtype=np.int64), 3),
+                                col=cols.reshape(-1).astype(np.int64),
+                                val=vals.reshape(-1))
+        csr = formats.coo_to_csr(coo)
+        from tpusparse.ops import _init_gather_ell
+
+        op = _init_gather_ell(csr, dtype=jnp.float64, variant="auto")
+        assert op._buffers["gather_variant"] == "affine"
+        assert op._buffers["span"] <= 4
+        x = rng.randn(n)
+        y = np.asarray(op.from_field(op.run_device(op.as_field(x))))
+        # tridiagonal-ish oracle without densifying 70000²
+        ref = np.zeros(n)
+        np.add.at(ref, np.repeat(np.arange(n), 3),
+                  vals.reshape(-1) * x[cols.reshape(-1)])
+        np.testing.assert_allclose(y, ref, rtol=1e-10, atol=1e-10)

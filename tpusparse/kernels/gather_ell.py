@@ -332,3 +332,246 @@ def spmv_gather_ell(op: GatherEllOperand, x128, *, interpret: bool = False):
     return spmv_gather_ell_arrays(op.w0, op.q, op.loc, op.vals,
                                   op.orow, op.ocol, op.oval, x128,
                                   meta=static_meta(op), interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# AFFINE windowed variant (round-4 optimizer)
+# ---------------------------------------------------------------------------
+#
+# The ladder kernel above pays `span` select-gather passes per (subtile, slot) because a
+# subtile's columns can sit anywhere in a span-sublane window.  But for the matrices the
+# benchmark actually exercises (banded, slope ≈ 1: column ≈ row + offset), the window row a
+# row needs ADVANCES WITH THE ROW — the residual d = x_sublane − output_sublane − base is
+# 2-3 values wide where the absolute window is 9-10.  This variant exploits that:
+#
+#   pack:   per (block, slot) anchor base_k = min over real entries of
+#           a = (col >> 7) − block_local_sublane; per entry d = a − base_k and
+#           lane = col & 127, encoded loc = d·128 + lane.  d beyond the percentile ladder
+#           (or negative — block-0 backward reaches whose window would start above x) goes
+#           to the same overflow COO list.  Inert entries (ELL padding, neutralized
+#           overflow) get the sentinel d = 255: never selected by any ladder pass, so
+#           uninitialized window rows can never leak through a 0·NaN.
+#   kernel: ONE window DMA per (block, slot) starting at EXACTLY base_k (HBM row starts
+#           need no alignment; row counts do — swin is a multiple of 8).  The subtile loop
+#           is statically unrolled, so the (16, 128) window view per subtile comes from two
+#           ALIGNED static 8-row slices, and the ladder runs over the D residual values:
+#           static (8, 128) value slices at rows δ..δ+8 — relayout shifts, no dynamic
+#           sublane slicing anywhere (the documented crash class, module doc "design space").
+#
+# Ops per (subtile, slot): 2 slices + concat + D·(slice+gather+select) ≈ 3 + 3D versus
+# 3·span for the ladder — ~2.5-3× fewer VPU passes at the stencil's D = 2-3, span = 9-10.
+# ops._init_gather_ell packs BOTH and picks affine when its measured D ≤ AFFINE_DSPAN_MAX.
+
+AFFINE_DSPAN_MAX = 8    # ladder length cap: δ + 8 row-slices must fit the 16-row view
+_AFFINE_SENTINEL = 255  # d value no ladder pass matches (inert entries)
+
+
+def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: int,
+                           dtype, *, block_subtiles: int = 32,
+                           overflow_frac: float = 0.005,
+                           max_overflow_frac: float = 0.02) -> GatherEllOperand:
+    """Affine-windowed pack (see block comment).  Raises GatherPackError when the matrix
+    is not affine-windowable (residual span beyond AFFINE_DSPAN_MAX, or too many
+    overflow entries) — callers fall back to the ladder pack."""
+    n, width = ell_col.shape
+    if width == 0 or n == 0:
+        raise GatherPackError("empty matrix (no rows or ELL width 0)")
+    if num_cols >= 2 ** 31 - 1:
+        raise GatherPackError("int32 column indices required (num_cols < 2^31)")
+    rb = block_subtiles * SUBTILE_ROWS
+    nb = -(-n // rb)
+    nsub = block_subtiles
+    n_pad = nb * rb
+
+    col = np.empty((n_pad, width), np.int64)
+    col[:n] = ell_col
+    val = np.zeros((n_pad, width), np.float32 if dtype != jnp.float64 else np.float64)
+    val[:n] = ell_val
+    if n_pad > n:
+        col[n:] = ell_col[n - 1]
+    real = np.zeros((n_pad, width), bool)
+    real[:n] = ell_val != 0  # zero-val slots are inert: exclude from anchors/histograms
+
+    # a = x_sublane − block-local output sublane, per entry
+    blocal = ((np.arange(n_pad) % rb) >> 7).astype(np.int64)  # (n_pad,)
+    a = (col >> 7) - blocal[:, None]                          # (n_pad, width)
+    ab = a.reshape(nb, rb, width)
+    realb = real.reshape(nb, rb, width)
+    # per (block, slot) anchor over REAL entries; window start must be a legal x row
+    a_masked = np.where(realb, ab, np.iinfo(np.int64).max)
+    base = np.minimum(a_masked.min(axis=1), np.iinfo(np.int32).max)  # (nb, width)
+    base = np.clip(base, 0, None)                  # negative window starts are illegal:
+    d = ab - base[:, None, :]                      # their entries overflow out below
+
+    # ladder length from the d histogram of real entries (d < 0 counts as overflow)
+    d_real = d[realb]
+    pos = d_real[d_real >= 0]
+    counts = np.bincount(pos, minlength=1) if pos.size else np.zeros(1, np.int64)
+    total = max(d_real.size, 1)  # negatives (d < 0) can only ever be overflow
+    dspan = int(np.searchsorted(np.cumsum(counts), (1.0 - overflow_frac) * total) + 1) \
+        if pos.size else 1
+    if dspan > AFFINE_DSPAN_MAX:
+        cov = (np.cumsum(counts)[AFFINE_DSPAN_MAX - 1] / total
+               if AFFINE_DSPAN_MAX <= len(counts) else 1.0)
+        if 1.0 - cov > max_overflow_frac:
+            raise GatherPackError(
+                f"affine residual span {dspan} > {AFFINE_DSPAN_MAX} and capping leaves "
+                f"{100 * (1 - cov):.1f}% overflow — matrix is not affine-windowable")
+        dspan = AFFINE_DSPAN_MAX
+    ovf_frac_actual = 1.0 - ((np.cumsum(counts)[dspan - 1] if dspan <= len(counts)
+                              else pos.size) / total)
+    if ovf_frac_actual > max_overflow_frac:
+        raise GatherPackError(
+            f"affine overflow {100 * ovf_frac_actual:.1f}% > "
+            f"{100 * max_overflow_frac:.0f}% — matrix is not affine-windowable")
+
+    ovf_mask = realb.reshape(n_pad, width) & ((d.reshape(n_pad, width) < 0)
+                                              | (d.reshape(n_pad, width) >= dspan))
+    if ovf_mask.any():
+        ridx, _k = np.nonzero(ovf_mask)
+        orow = ridx.astype(np.int32)
+        ocol = col[ovf_mask].astype(np.int32)
+        oval = val[ovf_mask]
+        keep = orow < n
+        orow, ocol, oval = orow[keep], ocol[keep], oval[keep]
+        val[ovf_mask] = 0
+    else:
+        orow = np.zeros((0,), np.int32)
+        ocol = np.zeros((0,), np.int32)
+        oval = np.zeros((0,), val.dtype)
+
+    inert = (val == 0)
+    dfin = np.where(inert.reshape(nb, rb, width), _AFFINE_SENTINEL,
+                    np.clip(d, 0, dspan - 1))
+    lane = np.where(inert, 0, col & 127)
+
+    loc = (dfin.reshape(n_pad, width) * LANES + lane).astype(np.int32)
+    # kernel-facing (nb, width, nsub, 8, 128)
+    locb = np.transpose(loc.reshape(nb, nsub, SUBTILE_ROWS, width), (0, 3, 1, 2))
+    locb = locb.reshape(nb, width, nsub, 8, LANES)
+    valt = np.transpose(val.reshape(nb, nsub, SUBTILE_ROWS, width), (0, 3, 1, 2))
+    valt = valt.reshape(nb, width, nsub, 8, LANES)
+
+    swin = 8 * nsub + 16  # t·8 + 16 must be readable for the last subtile
+    itemsize = 8 if dtype == jnp.float64 else 4
+    vmem = (width * swin * LANES * itemsize
+            + 2 * width * nsub * 8 * LANES * (4 + itemsize)
+            + 2 * nsub * 8 * LANES * itemsize)
+    if vmem > 12 * 2 ** 20:
+        raise GatherPackError(
+            f"affine operand needs ~{vmem / 2**20:.1f} MB of VMEM — over budget")
+
+    x_rows = int(base.max() + swin) if nb else 0
+    x_rows = max(x_rows, -(-num_cols // LANES), n_pad // LANES)
+
+    return GatherEllOperand(
+        w0=jnp.asarray(base.reshape(-1), jnp.int32),
+        q=jnp.zeros((nb, width, nsub), jnp.int32),  # unused by the affine kernel
+        spans=jnp.full((nb, width, nsub), dspan, jnp.int32),
+        loc=jnp.asarray(locb),
+        vals=jnp.asarray(valt, dtype),
+        orow=jnp.asarray(orow), ocol=jnp.asarray(ocol), oval=jnp.asarray(oval, dtype),
+        num_rows=n, num_cols=num_cols, width=width, nb=nb, nsub=nsub,
+        swin=swin, span=dspan, x_rows=x_rows,
+    )
+
+
+def _affine_kernel(ws_ref, loc_ref, vals_ref, x_hbm, y_ref, xw, sems, *,
+                   width: int, nsub: int, swin: int, dspan: int):
+    b = pl.program_id(0)
+    for k in range(width):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ws_ref[b * width + k], swin), :], xw.at[k], sems.at[k]
+        ).start()
+    for k in range(width):
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ws_ref[b * width + k], swin), :], xw.at[k], sems.at[k]
+        ).wait()
+
+    acc_dtype = jnp.float64 if y_ref.dtype == jnp.float64 else jnp.float32
+    # STATIC subtile unroll: window views become aligned static slices — no dynamic
+    # sublane slicing (the crash class documented in the module "design space" notes)
+    for t in range(nsub):
+        acc = jnp.zeros((8, LANES), acc_dtype)
+        for k in range(width):
+            loc = loc_ref[0, k, t]
+            v = vals_ref[0, k, t]
+            d = jax.lax.shift_right_logical(loc, jnp.asarray(7, loc.dtype))
+            lane = jax.lax.bitwise_and(loc, jnp.asarray(127, loc.dtype))
+            win16 = xw[k, t * 8:t * 8 + 16, :]  # (16, 128) static aligned view
+            g = jnp.zeros((8, LANES), xw.dtype)
+            for s in range(dspan):
+                rows = jax.lax.slice(win16, (s, 0), (s + 8, LANES))  # value shift
+                got = jnp.take_along_axis(rows, lane, axis=1)
+                g = jnp.where(d == s, got, g)
+            acc = acc + (v * g).astype(acc_dtype)
+        y_ref[pl.ds(t * 8, 8), :] = acc.astype(y_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _spmv_affine_jit(ws, loc, vals, x128, *, meta, interpret):
+    width, nb, nsub, swin, dspan = meta
+    kernel = functools.partial(_affine_kernel, width=width, nsub=nsub, swin=swin,
+                               dspan=dspan)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, width, nsub, 8, LANES), lambda b, wsr: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, width, nsub, 8, LANES), lambda b, wsr: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual window DMA
+        ],
+        out_specs=pl.BlockSpec((nsub * 8, LANES), lambda b, wsr: (b, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((width, swin, LANES), x128.dtype),
+            pltpu.SemaphoreType.DMA((width,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * nsub * 8, LANES), x128.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * nsub * 8 * LANES * width,
+            bytes_accessed=(loc.size + vals.size + 2 * nb * nsub * 8 * LANES)
+            * x128.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ws, loc, vals, x128)
+
+
+def spmv_gather_affine_arrays(ws, loc, vals, orow, ocol, oval, x128, *,
+                              meta: tuple, interpret: bool = False):
+    """Affine-variant apply; same contract as spmv_gather_ell_arrays."""
+    interpret = _auto_interpret(interpret)
+    width, nb, nsub, swin, dspan, x_rows, num_rows = meta
+    assert x128.shape == (x_rows, LANES), (x128.shape, x_rows)
+    with x64_off_for_32bit(vals, x128):
+        y = _spmv_affine_jit(ws, loc, vals, x128,
+                             meta=(width, nb, nsub, swin, dspan), interpret=interpret)
+    y = y.astype(x128.dtype)
+    if orow.shape[0]:
+        contrib = (oval.astype(x128.dtype) * x128.reshape(-1)[ocol])
+        y = y.reshape(-1).at[orow].add(contrib).reshape(y.shape)
+    out_rows = y.shape[0]
+    if out_rows < x_rows:
+        y = jnp.concatenate(
+            [y, jnp.zeros((x_rows - out_rows, LANES), y.dtype)], axis=0)
+    elif out_rows > x_rows:
+        y = y[:x_rows]
+    if num_rows < x_rows * LANES:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (x_rows, LANES), 0) * LANES \
+            + jax.lax.broadcasted_iota(jnp.int32, (x_rows, LANES), 1)
+        y = jnp.where(row_ids < num_rows, y, jnp.zeros_like(y))
+    return y
+
+
+def spmv_gather_affine(op: GatherEllOperand, x128, *, interpret: bool = False):
+    """Convenience wrapper over the affine packed operand (tests, one-off use)."""
+    return spmv_gather_affine_arrays(op.w0, op.loc, op.vals,
+                                     op.orow, op.ocol, op.oval, x128,
+                                     meta=static_meta(op), interpret=interpret)

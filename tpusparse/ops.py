@@ -449,13 +449,17 @@ def _pad_to_field(y_flat, fshape):
     return y_flat.reshape(fshape)
 
 
-def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
+def _init_gather_ell(mat, dtype=None, variant: str = "auto") -> DeviceOperator:
     """Generic gather SpMV via the hand Pallas windowed-ELL kernel (kernels/gather_ell.py)
     — the cuSPARSE-CSR baseline role (reference src/spmv/spmv_cusparse_csr.cu:182-285) as
     a real TPU kernel: pack-time measured column windows + in-VMEM lane gathers.
 
-    Matrices whose measured column spans defeat windowing (GatherPackError) fall back to
-    the XLA gather path LOUDLY — same correctness, slower; see the kernel's module doc."""
+    ``variant``: "auto" tries the AFFINE pack first (short residual ladder for banded
+    slope-1 matrices — see gather_ell.pack_gather_ell_affine) and falls back to the
+    general ladder pack when the matrix is not affine-windowable; "ladder"/"affine"
+    force one.  Matrices whose measured column spans defeat windowing entirely
+    (GatherPackError from both packs) fall back to the XLA gather path LOUDLY —
+    same correctness, slower; see the kernel's module doc."""
     from .kernels import gather_ell as _gell
 
     dtype = dtype or _default_dtype()
@@ -477,22 +481,44 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
         csr = _as_csr(mat)
         ell = formats.csr_to_ell(csr)
         nnz = csr.nnz
-    try:
-        packed = _gell.pack_gather_ell(ell.col, ell.val, ell.num_cols, dtype)
-    except _gell.GatherPackError as e:
-        import sys as _sys
+    packed = kern = None
+    if variant in ("auto", "affine"):
+        try:
+            packed = _gell.pack_gather_ell_affine(ell.col, ell.val, ell.num_cols, dtype)
+            kern = "affine"
+        except _gell.GatherPackError as e:
+            if variant == "affine":
+                raise
+            import sys as _sys
 
-        print(f"[tpusparse] gather kernel pack failed ({e}); falling back to XLA gather",
-              file=_sys.stderr)
-        return _init_ell_xla(mat, dtype=dtype)
+            print(f"[tpusparse] affine gather pack declined ({e}); using the ladder pack",
+                  file=_sys.stderr)
+    if packed is None:
+        try:
+            packed = _gell.pack_gather_ell(ell.col, ell.val, ell.num_cols, dtype)
+            kern = "ladder"
+        except _gell.GatherPackError as e:
+            import sys as _sys
+
+            print(f"[tpusparse] gather kernel pack failed ({e}); falling back to "
+                  "XLA gather", file=_sys.stderr)
+            return _init_ell_xla(mat, dtype=dtype)
     meta = _gell.static_meta(packed)
     fshape = (packed.x_rows, _gell.LANES)
     interp = _is_cpu()
 
-    def run_device_op(x, operands):
-        w0, q, loc, vals, orow, ocol, oval = operands
-        return _gell.spmv_gather_ell_arrays(w0, q, loc, vals, orow, ocol, oval,
-                                            x.astype(dtype), meta=meta, interpret=interp)
+    if kern == "affine":
+        def run_device_op(x, operands):
+            w0, q, loc, vals, orow, ocol, oval = operands
+            return _gell.spmv_gather_affine_arrays(w0, loc, vals, orow, ocol, oval,
+                                                   x.astype(dtype), meta=meta,
+                                                   interpret=interp)
+    else:
+        def run_device_op(x, operands):
+            w0, q, loc, vals, orow, ocol, oval = operands
+            return _gell.spmv_gather_ell_arrays(w0, q, loc, vals, orow, ocol, oval,
+                                                x.astype(dtype), meta=meta,
+                                                interpret=interp)
 
     def run_device_dot_op(x, operands):
         # y's tail is zero past num_rows, so the full-field vdot equals the true dot
@@ -509,7 +535,7 @@ def _init_gather_ell(mat, dtype=None) -> DeviceOperator:
         grid_size=ell.grid_size,
         _buffers={"loc": packed.loc, "val": packed.vals, "dtype": dtype,
                   "span": packed.span, "swin": packed.swin,
-                  "nb": packed.nb, "width": packed.width},
+                  "nb": packed.nb, "width": packed.width, "gather_variant": kern},
         operands=operands, run_device_op=run_device_op,
         run_device_dot_op=run_device_dot_op,
     )
