@@ -29,12 +29,16 @@ def spmv_result_dict(*, mode: str, matrix_name: str, op, metrics: SpmvMetrics,
                      sum_y: float, norm2_y: float,
                      kernel_ms: float = 0.0,
                      run_protocol: str = "transfer-inclusive") -> Dict[str, Any]:
+    variant = (op._buffers or {}).get("gather_variant") if hasattr(op, "_buffers") \
+        else None
     return {
         "timestamp": _now_iso(),
         "benchmark_type": "spmv",
         "device": sysinfo,
         "benchmark": {
             "mode": mode,
+            # which gather pack actually ran (csr mode auto-selects affine vs ladder)
+            **({"kernel_variant": variant} if variant else {}),
             # what the run-time distribution below measures: "transfer-inclusive" wraps
             # per-run H2D/D2H (strict wall protocol); "device-resident" is the
             # reference's run-loop shape (upload once, cudaEvent-style timed applies,
