@@ -328,13 +328,24 @@ def test_timing_validity_flags():
     m = metrics.calculate_spmv_metrics(
         op, 0.05, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
     assert any("noise" in f for f in m.timing_flags)
-    # impossibly fast -> exceeds-nominal-peak flag (16*16*7*4 B in 1e-6 ms >> 819 GB/s)
+    # tiny working set (16*16*7*4 B << knee): >peak bandwidth is attributed to on-chip
+    # residency (round-4 knee probe), not declared impossible
     m2 = metrics.calculate_spmv_metrics(
         op, 1e-6, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
-    assert any("exceeds_nominal_peak" in f for f in m2.timing_flags)
-    # healthy time -> no flags
+    assert any("onchip_knee" in f for f in m2.timing_flags)
+    assert any("exceeds_hbm_peak" in f for f in m2.timing_flags)
+    assert not any("exceeds_nominal_peak" in f for f in m2.timing_flags)
+    # big working set (>= knee) at impossible speed -> physically-impossible flag
+    import types
+
+    op_big = types.SimpleNamespace(name="stencil5", num_rows=8192 * 8192,
+                                   nnz=5 * 8192 * 8192)
+    m_imp = metrics.calculate_spmv_metrics(
+        op_big, 0.9, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
+    assert any("exceeds_nominal_peak" in f for f in m_imp.timing_flags)
+    # healthy time on a big working set -> no flags
     m3 = metrics.calculate_spmv_metrics(
-        op, 100.0, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
+        op_big, 100.0, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
     assert m3.timing_flags == ()
     # flags survive into the JSON dict and the human report
     from tpusparse.bench import export
@@ -381,3 +392,25 @@ def test_dispatch_correction_marks_clipped_buckets():
         solver="s", mode="m", matrix_name="t", op=_Op(), cg_stats=st,
         bench_stats=None, sysinfo={}, sum_x=0.0, norm2_x=0.0)
     assert res["timing"]["dispatch_clipped_buckets"] == "halo"
+
+
+def test_onchip_knee_probe_and_flag_units():
+    """The knee probe returns one point per footprint; the metrics knee flag names MiB and
+    is a disclosure (no 'impossible' wording) — round-4 on-chip residency finding."""
+    from tpusparse.bench import metrics, probes
+
+    r = probes.measure_onchip_knee(sizes_mib=(1,), reps=1)
+    assert len(r["points"]) == 1
+    assert r["points"][0]["footprint_mib"] == 1
+    assert r["points"][0]["copy_chain_gbs"] > 0
+    import types
+
+    tiny = types.SimpleNamespace(name="stencil5", num_rows=64 * 64, nnz=5 * 64 * 64)
+    m = metrics.calculate_spmv_metrics(
+        tiny, 10.0, dtype_itemsize=4, device_kind="TPU v5 lite", mode="stencil5")
+    knee = [f for f in m.timing_flags if "onchip_knee" in f]
+    assert knee and "impossible" not in knee[0]
+    # cpu device_kind never carries accelerator-residency flags
+    m_cpu = metrics.calculate_spmv_metrics(
+        tiny, 10.0, dtype_itemsize=4, device_kind="cpu", mode="stencil5")
+    assert not any("onchip" in f for f in m_cpu.timing_flags)

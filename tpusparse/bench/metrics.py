@@ -144,6 +144,14 @@ class SpmvMetrics:
 # runs still report a number with an explicit caveat attached.
 MIN_VALID_KERNEL_MS = 0.5
 
+# Measured on-chip residency knee (scripts/probe_onchip_knee.py → docs/results/
+# onchip_knee_*.json): dependent copy chains over ≤64 MiB buffers sustain ~5.5 TB/s on
+# v5e — across chained applies the working set never leaves on-chip memory — while
+# ≥128 MiB footprints converge to the ~658 GB/s HBM stream.  Below the knee, dividing
+# an HBM byte model by the chained time yields a real on-chip bandwidth, not an HBM
+# roofline claim; artifacts must say which one they are reporting.
+ON_CHIP_KNEE_BYTES = 128 * 2 ** 20
+
 
 def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
                            device_kind: str, mode: Optional[str] = None,
@@ -162,11 +170,22 @@ def calculate_spmv_metrics(op, time_ms: float, *, dtype_itemsize: int,
         flags.append(
             f"kernel_time<{MIN_VALID_KERNEL_MS}ms: chained-slope noise-dominated; "
             "bandwidth/GFLOPS indicative only")
-    if device_kind != "cpu" and bw > peak_bw:
+    on_chip = device_kind != "cpu" and 0 < nbytes < ON_CHIP_KNEE_BYTES
+    if on_chip:
         flags.append(
-            f"implied_bw_exceeds_nominal_peak: {bw:.0f} > {peak_bw:.0f} GB/s — "
-            "physically impossible; timing invalid as a roofline claim")
-    elif achievable_gbs and bw > achievable_gbs:
+            f"working_set_below_onchip_knee: {nbytes / 2**20:.0f} MiB < "
+            f"{ON_CHIP_KNEE_BYTES // 2**20} MiB — chained applies can run from on-chip "
+            "memory; bandwidth is an on-chip figure, not an HBM roofline claim")
+    if device_kind != "cpu" and bw > peak_bw:
+        if on_chip:
+            flags.append(
+                f"implied_bw_exceeds_hbm_peak: {bw:.0f} > {peak_bw:.0f} GB/s — consistent "
+                "with on-chip residency (measured ~5.5 TB/s copy chains at ≤64 MiB)")
+        else:
+            flags.append(
+                f"implied_bw_exceeds_nominal_peak: {bw:.0f} > {peak_bw:.0f} GB/s — "
+                "physically impossible; timing invalid as a roofline claim")
+    elif achievable_gbs and bw > achievable_gbs and not on_chip:
         flags.append(
             f"implied_bw_exceeds_measured_ceiling: {bw:.0f} > {achievable_gbs:.0f} GB/s")
     ridge = peak_flops / peak_bw  # FLOPs per byte at the roofline ridge point

@@ -164,3 +164,37 @@ def measure_achievable_bw(n_elems: int = 0, k_lo: int = 6, k_hi: int = 24,
     }
 
 
+def measure_onchip_knee(sizes_mib=(8, 32, 64, 128, 512),
+                        reps: int = 2) -> Dict:
+    """Copy-chain bandwidth vs buffer footprint — locates the on-chip residency knee.
+
+    A dependent copy chain (``v ← c·v``, fori_loop) whose buffer fits in on-chip memory
+    never pays HBM after the first pass; its apparent "bandwidth" is the on-chip rate.
+    Sweeping the footprint shows where chained-apply timings stop being HBM statements.
+    ``metrics.ON_CHIP_KNEE_BYTES`` (and the ``working_set_below_onchip_knee`` artifact
+    flag) is calibrated from this probe's committed artifact.
+
+    Iteration counts are footprint-scaled: an 8 MiB pass is ~4 µs, so fixed k values that
+    work for 1 GiB probes leave the paired difference under the readback-RTT jitter.
+    k_hi is sized so that even at the fastest plausible rate (4 TB/s on-chip) the
+    k_hi−k_lo difference is ≥ ~0.3 s of device time; a host-side calibration run cannot
+    do this job — it is RTT-dominated for exactly the footprints that need scaling."""
+    points = []
+    for mib in sizes_mib:
+        n = mib * 2 ** 20 // 4
+        x = jnp.ones((n // 128, 128), jnp.float32)
+        bytes_per_pass = 2 * x.size * 4
+        per_pass_min = bytes_per_pass / 4e12
+        k_hi = int(min(max(0.3 / per_pass_min / 0.75, 64), 200_000))  # 0.75: diff share
+        k_lo = max(1, k_hi // 4)
+        gbs = measure_probe_slope(_copy_probe, (x,), bytes_per_pass, k_lo, k_hi, reps)
+        points.append({"footprint_mib": mib, "copy_chain_gbs": gbs,
+                       "k_lo": k_lo, "k_hi": k_hi})
+        del x
+    return {
+        "probe_protocol": "dependent copy chain, paired-iteration slope, "
+                          f"footprint-scaled k (best of {reps})",
+        "points": points,
+    }
+
+

@@ -383,7 +383,10 @@ def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: i
     nsub = block_subtiles
     n_pad = nb * rb
 
-    col = np.empty((n_pad, width), np.int64)
+    # int32 throughout (num_cols < 2^31 guard above): at 15360² the (n_pad, width)
+    # intermediates are 1.18e9 entries each — int64 measured 116 GB peak RSS / 19 min on
+    # this host, int32 + eager frees halve both
+    col = np.empty((n_pad, width), np.int32)
     col[:n] = ell_col
     val = np.zeros((n_pad, width), np.float32 if dtype != jnp.float64 else np.float64)
     val[:n] = ell_val
@@ -393,23 +396,28 @@ def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: i
     real[:n] = ell_val != 0  # zero-val slots are inert: exclude from anchors/histograms
 
     # a = x_sublane − block-local output sublane, per entry
-    blocal = ((np.arange(n_pad) % rb) >> 7).astype(np.int64)  # (n_pad,)
+    blocal = ((np.arange(n_pad, dtype=np.int64) % rb) >> 7).astype(np.int32)  # (n_pad,)
     a = (col >> 7) - blocal[:, None]                          # (n_pad, width)
     ab = a.reshape(nb, rb, width)
     realb = real.reshape(nb, rb, width)
     # per (block, slot) anchor over REAL entries; window start must be a legal x row
-    a_masked = np.where(realb, ab, np.iinfo(np.int64).max)
-    base = np.minimum(a_masked.min(axis=1), np.iinfo(np.int32).max)  # (nb, width)
+    a_masked = np.where(realb, ab, np.iinfo(np.int32).max)
+    base = a_masked.min(axis=1)                    # (nb, width)
+    del a_masked
     base = np.clip(base, 0, None)                  # negative window starts are illegal:
     d = ab - base[:, None, :]                      # their entries overflow out below
+    del a, ab
 
     # ladder length from the d histogram of real entries (d < 0 counts as overflow)
     d_real = d[realb]
     pos = d_real[d_real >= 0]
-    counts = np.bincount(pos, minlength=1) if pos.size else np.zeros(1, np.int64)
     total = max(d_real.size, 1)  # negatives (d < 0) can only ever be overflow
+    del d_real
+    pos_size = pos.size
+    counts = np.bincount(pos, minlength=1) if pos_size else np.zeros(1, np.int64)
+    del pos
     dspan = int(np.searchsorted(np.cumsum(counts), (1.0 - overflow_frac) * total) + 1) \
-        if pos.size else 1
+        if pos_size else 1
     if dspan > AFFINE_DSPAN_MAX:
         cov = (np.cumsum(counts)[AFFINE_DSPAN_MAX - 1] / total
                if AFFINE_DSPAN_MAX <= len(counts) else 1.0)
@@ -419,7 +427,7 @@ def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: i
                 f"{100 * (1 - cov):.1f}% overflow — matrix is not affine-windowable")
         dspan = AFFINE_DSPAN_MAX
     ovf_frac_actual = 1.0 - ((np.cumsum(counts)[dspan - 1] if dspan <= len(counts)
-                              else pos.size) / total)
+                              else pos_size) / total)
     if ovf_frac_actual > max_overflow_frac:
         raise GatherPackError(
             f"affine overflow {100 * ovf_frac_actual:.1f}% > "

@@ -192,6 +192,37 @@ class DeviceOperator:
             float(jnp.sum(prog(x, self.operands, k=k_hi)))
         t_lo = chain_run(k_lo)
         t_hi = chain_run(k_hi)
+        diff = t_hi - t_lo
+
+        # CHAIN ESCALATION (round-4): for sub-ms kernels even the k_lo/k_hi pair differs
+        # by less than the tunnel's readback jitter (±ms), so the slope is noise — the
+        # round-3 small-grid artifacts swung 0.14 → 1.09 ms between campaigns on the same
+        # kernel.  Repeat the already-compiled k_hi chain R times back-to-back (the carry
+        # feeds forward, so execution is sequential on device with two live field buffers
+        # and NO recompile — a fresh longer unroll would cost minutes of remote compile)
+        # until the paired difference clears ~0.4 s, then difference over total applies.
+        if prog is not None and diff < 0.1 and jax.default_backend() != "cpu":
+            est = max(diff / (k_hi - k_lo), 1e-5)  # ≥10 µs/apply floor bounds R
+            r_hi = max(4, int(-(-0.4 // (est * k_hi))))
+            # cap live enqueue-ahead memory: each in-flight dispatch holds one field
+            r_hi = min(r_hi, 128, max(4, int(4e9 / max(x.nbytes, 1))))
+            r_lo = max(1, r_hi // 4)
+
+            def chain_rep(r):
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    v = x
+                    for _ in range(r):
+                        v = prog(v, self.operands, k=k_hi)
+                    float(jnp.sum(v))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            t_rlo = chain_rep(r_lo)
+            t_rhi = chain_rep(r_hi)
+            return slope_seconds(t_rlo, t_rhi, r_lo * k_hi, r_hi * k_hi) * 1e3
+
         # shared noise guard: a jitter-dominated negative slope falls back to the
         # (kernel-unflattering) chain average instead of exporting absurd numbers
         return slope_seconds(t_lo, t_hi, k_lo, k_hi) * 1e3
