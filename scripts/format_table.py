@@ -14,6 +14,7 @@ docs/results/GENERIC_COMPARISON.md by the maintainer (regenerate, don't hand-edi
 from __future__ import annotations
 
 import argparse
+import csv
 import glob
 import json
 import os
@@ -29,12 +30,10 @@ _CSRXLA_OOM = ("measured OOM: XLA tile-pads the [n,5] ELL gather operand to T(8,
                "8 GB temp at 4096², 53.7 GB at 10240² (compile logs in repo history); "
                "measured through 2560")
 ABSENT = {
-    ("csr", 15360): "pack-time bound: the gather pack's per-row column-window analysis "
-                    "is O(nnz) host work — measured >1 h for the 1.18B ELL slots on this "
-                    "1-core host (timeout); the 9.4 GB operand itself fits. Measured "
-                    "through 10240",
-    ("csr", 20480): "operand > HBM: packed ELL cols+vals = 16.8 GB vs 16 GB chip "
-                    "(measured OOM); pack additionally time-bound (see 15360 row)",
+    # (csr, 15360) was pack-time bound for the LADDER pack (>1 h of per-row host
+    # analysis); the vectorized affine pack closed it — measured row since round 4.
+    ("csr", 20480): "operand > HBM: packed ELL cols+vals = 5·n·(4+4) B = 16.8 GB vs "
+                    "15.75 GB usable HBM (measured OOM at pack upload)",
     ("csr-xla", 4096): _CSRXLA_OOM,
     ("csr-xla", 10240): _CSRXLA_OOM,
     ("csr-xla", 15360): "see 4096 row (OOM grows with n)",
@@ -65,14 +64,56 @@ def load_rows(results_dir):
             "gflops": p["gflops"],
             "frac_ach": p.get("roofline_fraction_achievable"),
             "dtype": p.get("dtype", "?"),
+            "flags": p.get("timing_flags") or [],
+            "raw": rec,
         }
     return rows
+
+
+def write_csv(rows, absent, sizes, path):
+    """REGENERATE the committed format-table CSV from the JSON artifacts (one row per
+    measured (mode, grid) at the table sizes, plus explained-absence rows) so the CSV can
+    never drift from the artifacts it summarizes — the round-3 review found exactly that
+    drift between GENERIC_COMPARISON.md and the per-run appended CSV."""
+    from tpusparse.bench.export import _flatten
+
+    flat_rows = []
+    for (mode, g) in sorted(rows, key=lambda k: (k[1], k[0])):
+        if g not in sizes:
+            continue
+        flat = _flatten(rows[(mode, g)]["raw"])
+        flags = rows[(mode, g)]["flags"]
+        flat["benchmark.performance.timing_flags"] = ";".join(
+            f.split(":")[0] for f in flags)
+        flat_rows.append(flat)
+    for (mode, g), reason in sorted(absent.items(), key=lambda kv: (kv[0][1], kv[0][0])):
+        if g not in sizes or (mode, g) in rows:
+            continue
+        flat_rows.append({
+            "benchmark_type": "spmv",
+            "benchmark.mode": mode,
+            "benchmark.matrix.grid_size": g,
+            "benchmark.absent_reason": reason,
+        })
+    fieldnames = []
+    for r in flat_rows:
+        for k in r:
+            if k not in fieldnames:
+                fieldnames.append(k)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fieldnames, restval="")
+        w.writeheader()
+        for r in flat_rows:
+            w.writerow(r)
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="docs/results")
     ap.add_argument("--sizes", default="2048,2560,4096,10240,15360,20480")
+    ap.add_argument("--csv", default=None,
+                    help="also REGENERATE this CSV from the artifacts (replaces the "
+                         "append-mode file; measured + explained-absence rows)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     rows = load_rows(args.dir)
@@ -86,12 +127,21 @@ def main() -> int:
             if r is not None:
                 frac = (f", {100 * r['frac_ach']:.0f}% ceil"
                         if r.get("frac_ach") and mode.startswith("stencil") else "")
-                cells.append(f"{r['ms']:.2f} ms ({r['gbs']:.0f} GB/s{frac})")
+                star = "†" if r["flags"] else ""
+                cells.append(f"{r['ms']:.2f} ms{star} ({r['gbs']:.0f} GB/s{frac})")
             elif (mode, g) in ABSENT:
                 cells.append(f"— {ABSENT[(mode, g)]}")
             else:
                 cells.append("not measured")
         print(f"| {mode} | " + " | ".join(cells) + " |")
+    if any(rows[k]["flags"] for k in rows if k[1] in sizes and k[0] in MODES):
+        print("\n† timing-validity flags set (sub-knee working set or sub-ms kernel "
+              "time): bandwidth is an on-chip figure, not an HBM roofline claim — see "
+              "the artifact's performance.timing_flags.")
+    if args.csv:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        write_csv(rows, ABSENT, sizes, args.csv)
+        print(f"\n[csv regenerated: {args.csv}]", file=sys.stderr)
     return 0
 
 
