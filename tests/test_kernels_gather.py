@@ -219,6 +219,54 @@ class TestAffineVariant:
             gather_ell.pack_gather_ell_affine(np.sort(col, axis=1), val, n, jnp.float32)
 
     @_f64_kernels
+    def test_rot_slots_all_diagonals(self):
+        """Slots that are EXACT diagonals take the rotation path (static lane roll +
+        slice, no per-entry index traffic): rot detected for every slot, the packed loc
+        is the dummy block, and the result is exact.  Offsets exercise cm=0 (pure
+        slice), cm=127 (the wrap-heavy roll), and cm=2 with c>>7=1 (window row step)."""
+        n = 70000  # > 2 blocks
+        offs = [0, 127, 130]
+        rng = np.random.RandomState(11)
+        col = np.zeros((n, len(offs)), np.int64)
+        val = np.zeros((n, len(offs)))
+        for k, c in enumerate(offs):
+            r = np.arange(n)
+            ok = r + c < n
+            col[:, k] = np.where(ok, r + c, 0)
+            val[:, k] = np.where(ok, rng.randn(n), 0.0)  # out-of-range → inert
+        op = gather_ell.pack_gather_ell_affine(col, val, n, jnp.float64)
+        assert op.rot == (0, 127, 130), op.rot
+        assert op.loc.shape == (1, 1, 1, 8, 128), "all-rot pack must drop loc traffic"
+        x = np.random.RandomState(12).randn(n)
+        x128 = jnp.asarray(np.concatenate(
+            [x, np.zeros(op.x_rows * 128 - n)]).reshape(op.x_rows, 128))
+        y = np.asarray(gather_ell.spmv_gather_affine(op, x128)).reshape(-1)[:n]
+        ref = np.zeros(n)
+        for k, c in enumerate(offs):
+            np.add.at(ref, np.arange(n), val[:, k] * x[col[:, k]])
+        np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+
+    @_f64_kernels
+    def test_rot_mixed_with_ladder_slot(self):
+        """A diagonal slot and a random-banded slot coexist: rot for one, ladder for the
+        other, loc carries only the ladder slot, result exact."""
+        n = 70000
+        rng = np.random.RandomState(13)
+        col = np.zeros((n, 2), np.int64)
+        val = rng.randn(n, 2)
+        col[:, 0] = np.arange(n)                                   # exact diagonal
+        col[:, 1] = np.minimum(np.arange(n) + rng.randint(0, 5, n), n - 1)  # banded
+        op = gather_ell.pack_gather_ell_affine(col, val, n, jnp.float64)
+        assert op.rot[0] == 0 and op.rot[1] is None, op.rot
+        assert op.loc.shape[1] == 1, "loc must carry the ladder slot only"
+        x = np.random.RandomState(14).randn(n)
+        x128 = jnp.asarray(np.concatenate(
+            [x, np.zeros(op.x_rows * 128 - n)]).reshape(op.x_rows, 128))
+        y = np.asarray(gather_ell.spmv_gather_affine(op, x128)).reshape(-1)[:n]
+        ref = val[:, 0] * x[col[:, 0]] + val[:, 1] * x[col[:, 1]]
+        np.testing.assert_allclose(y, ref, rtol=1e-12, atol=1e-12)
+
+    @_f64_kernels
     def test_affine_large_multiblock_auto_selected(self):
         """A ≥2-block slope-1 banded matrix is the affine target class: auto must pick
         affine (block-0 back-reach is a negligible overflow fraction there)."""
@@ -235,7 +283,9 @@ class TestAffineVariant:
         from tpusparse.ops import _init_gather_ell
 
         op = _init_gather_ell(csr, dtype=jnp.float64, variant="auto")
-        assert op._buffers["gather_variant"] == "affine"
+        # the 0/+1 slots are exact diagonals → rot; the −2 slot's block-0 clip cost
+        # (47% of its entries) demotes it to the ladder path
+        assert op._buffers["gather_variant"] == "affine+rot2"
         assert op._buffers["span"] <= 4
         x = rng.randn(n)
         y = np.asarray(op.from_field(op.run_device(op.as_field(x))))

@@ -37,6 +37,15 @@ Design space explored (measured on v5e, g=2048-10240; kept for the next optimize
   - The kernel is select-ladder (VPU) bound at large g: 33.7 ms at 10240² vs ~10 ms of
     pure traffic.  That is the honest cost of gather on a lane machine — exactly the
     gap the STENCIL5 structure-exploiting formulation exists to avoid.
+  - AFFINE variant (round 4): per-slot windows anchored analytically for slope-1
+    matrices cut the ladder to dspan≈2 — 33.7 → 22.3 ms at 10240² (measured A/B).
+  - ROT slots (round 4, on top of affine): a slot whose real entries are an EXACT
+    diagonal (col = row + c) needs no gather at all — lane = (l+c)&127 is a constant
+    rotation (pltpu.roll, one VPU op) and the sublane step is a static slice + one
+    select at the wrap column.  The slot's per-entry index plane also drops out of HBM
+    traffic.  This is the pack-time structure measurement taken to its limit: cuSPARSE's
+    adaptive binning analog discovering that a "generic" matrix is secretly DIA, slot by
+    slot, while arbitrary slots in the same matrix keep the ladder.
 """
 
 from __future__ import annotations
@@ -88,6 +97,10 @@ class GatherEllOperand:
     swin: int          # slot-window rows in VMEM (static, multiple of 8)
     span: int          # kernel select-ladder passes (percentile span, static)
     x_rows: int        # required x field rows (covers every window's reach)
+    # affine pack only: per-slot diagonal offsets — c where the slot is an exact diagonal
+    # (col = row + c, lane gather = constant rotation), None where it needs the ladder.
+    # () for ladder-pack operands.  Static: part of the kernel program, not a buffer.
+    rot: tuple = ()
 
 
 def pack_gather_ell(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: int, dtype,
@@ -290,7 +303,7 @@ def _spmv_gather_jit(w0, loc, vals, q, x128, *, meta, interpret):
 
 def static_meta(op: GatherEllOperand) -> tuple:
     """The hashable static description a caller threads through jit boundaries."""
-    return (op.width, op.nb, op.nsub, op.swin, op.span, op.x_rows, op.num_rows)
+    return (op.width, op.nb, op.nsub, op.swin, op.span, op.x_rows, op.num_rows, op.rot)
 
 
 def spmv_gather_ell_arrays(w0, q, loc, vals, orow, ocol, oval, x128, *,
@@ -301,7 +314,7 @@ def spmv_gather_ell_arrays(w0, q, loc, vals, orow, ocol, oval, x128, *,
     ``meta`` is ``static_meta(op)``.  ``x128`` is the (x_rows, 128) lane layout with a
     zero tail; returns y in the same layout, zero past the matrix rows."""
     interpret = _auto_interpret(interpret)
-    width, nb, nsub, swin, span, x_rows, num_rows = meta
+    width, nb, nsub, swin, span, x_rows, num_rows = meta[:7]  # rot (meta[7]) unused here
     assert x128.shape == (x_rows, LANES), (x128.shape, x_rows)
     with x64_off_for_32bit(vals, x128):
         y = _spmv_gather_jit(w0, loc, vals, q, x128,
@@ -395,6 +408,41 @@ def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: i
     real = np.zeros((n_pad, width), bool)
     real[:n] = ell_val != 0  # zero-val slots are inert: exclude from anchors/histograms
 
+    # ROT detection: a slot whose real entries (almost) all satisfy col − row = c is an
+    # exact diagonal — its lane gather is a CONSTANT LANE ROTATION (lane = (l+c)&127) plus
+    # a static sublane step at the wrap column.  The kernel then replaces the
+    # take_along_axis ladder (the measured VPU bottleneck: 2 gathers + 2 selects per slot)
+    # with 2 static slices + 2 pltpu.rolls + 1 select, and the slot's per-entry index
+    # plane drops out of HBM traffic entirely.  Entries off the diagonal (e.g. clipped
+    # boundary rows) route to the existing COO overflow pass.
+    rows_idx = np.arange(n, dtype=np.int64)
+    rot = []
+    rot_mism = {}  # slot → (n,) bool mask of real entries off the modal diagonal
+    for k in range(width):
+        rk = real[:n, k]
+        ridx = np.flatnonzero(rk)
+        c = None
+        if ridx.size:
+            diffs = col[:n, k].astype(np.int64) - rows_idx
+            cand = int(diffs[ridx[ridx.size // 2]])  # probe the median real row
+            mism = rk & (diffs != cand)
+            n_mism = int(mism.sum())
+            # the analytic rot base (block_start + c>>7) clips at 0 in the first
+            # ceil(−(c>>7)/(rb>>7)) blocks when c < 0; every real slot entry there
+            # mismatches the static pattern and must overflow — count that cost up front
+            # and DEMOTE the slot to the ladder path when it isn't negligible (small
+            # matrices), instead of blowing the pack's overflow budget
+            if cand < 0:
+                nclip = -(-(-(cand >> 7)) // (rb >> 7))
+                n_mism += int(rk[: min(nclip * rb, n)].sum())
+            if n_mism <= 0.005 * ridx.size:
+                c = cand
+                rot_mism[k] = mism
+            del diffs, mism
+        rot.append(c)
+    rot = tuple(rot)
+    ladder_cols = [k for k in range(width) if rot[k] is None]
+
     # a = x_sublane − block-local output sublane, per entry
     blocal = ((np.arange(n_pad, dtype=np.int64) % rb) >> 7).astype(np.int32)  # (n_pad,)
     a = (col >> 7) - blocal[:, None]                          # (n_pad, width)
@@ -405,36 +453,62 @@ def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: i
     base = a_masked.min(axis=1)                    # (nb, width)
     del a_masked
     base = np.clip(base, 0, None)                  # negative window starts are illegal:
+    # rot slots get the ANALYTIC base (block_start + c>>7): the kernel's static rot
+    # pattern d(l) = (l+cm)>>7 holds exactly against it; blocks where the analytic base
+    # clips at 0 (top-boundary back-reach) overflow out below, like negative windows do
+    block_start_sub = np.arange(nb, dtype=np.int64) * (rb >> 7)
+    for k, c in enumerate(rot):
+        if c is not None:
+            base[:, k] = np.maximum(block_start_sub + (c >> 7), 0).astype(base.dtype)
     d = ab - base[:, None, :]                      # their entries overflow out below
     del a, ab
 
-    # ladder length from the d histogram of real entries (d < 0 counts as overflow)
-    d_real = d[realb]
-    pos = d_real[d_real >= 0]
-    total = max(d_real.size, 1)  # negatives (d < 0) can only ever be overflow
-    del d_real
-    pos_size = pos.size
-    counts = np.bincount(pos, minlength=1) if pos_size else np.zeros(1, np.int64)
-    del pos
-    dspan = int(np.searchsorted(np.cumsum(counts), (1.0 - overflow_frac) * total) + 1) \
-        if pos_size else 1
-    if dspan > AFFINE_DSPAN_MAX:
-        cov = (np.cumsum(counts)[AFFINE_DSPAN_MAX - 1] / total
-               if AFFINE_DSPAN_MAX <= len(counts) else 1.0)
-        if 1.0 - cov > max_overflow_frac:
-            raise GatherPackError(
-                f"affine residual span {dspan} > {AFFINE_DSPAN_MAX} and capping leaves "
-                f"{100 * (1 - cov):.1f}% overflow — matrix is not affine-windowable")
-        dspan = AFFINE_DSPAN_MAX
-    ovf_frac_actual = 1.0 - ((np.cumsum(counts)[dspan - 1] if dspan <= len(counts)
-                              else pos_size) / total)
+    dr = d.reshape(n_pad, width)
+    total = max(int(real.sum()), 1)
+    ovf_mask = np.zeros((n_pad, width), bool)
+    l_out = (np.arange(n_pad, dtype=np.int64) & 127)
+    for k, c in enumerate(rot):
+        if c is None:
+            continue
+        cm = c % 128
+        exp = ((l_out + cm) >> 7).astype(dr.dtype)
+        ovf_mask[:, k] = real[:, k] & (dr[:, k] != exp)
+        ovf_mask[:n, k] |= rot_mism[k]
+    del l_out
+
+    # ladder slots: residual-span length from the d histogram of their real entries
+    # (d < 0 counts as overflow)
+    if ladder_cols:
+        real_l = real[:, ladder_cols]
+        d_real = dr[:, ladder_cols][real_l]
+        pos = d_real[d_real >= 0]
+        del d_real
+        pos_size = pos.size
+        counts = np.bincount(pos, minlength=1) if pos_size else np.zeros(1, np.int64)
+        del pos
+        dspan = int(np.searchsorted(np.cumsum(counts),
+                                    (1.0 - overflow_frac) * total) + 1) \
+            if pos_size else 1
+        if dspan > AFFINE_DSPAN_MAX:
+            cov = (np.cumsum(counts)[AFFINE_DSPAN_MAX - 1] / total
+                   if AFFINE_DSPAN_MAX <= len(counts) else 1.0)
+            if 1.0 - cov > max_overflow_frac:
+                raise GatherPackError(
+                    f"affine residual span {dspan} > {AFFINE_DSPAN_MAX} and capping "
+                    f"leaves {100 * (1 - cov):.1f}% overflow — matrix is not "
+                    "affine-windowable")
+            dspan = AFFINE_DSPAN_MAX
+        ovf_mask[:, ladder_cols] |= real_l & ((dr[:, ladder_cols] < 0)
+                                              | (dr[:, ladder_cols] >= dspan))
+        del real_l
+    else:
+        dspan = 1
+
+    ovf_frac_actual = ovf_mask.sum() / total
     if ovf_frac_actual > max_overflow_frac:
         raise GatherPackError(
             f"affine overflow {100 * ovf_frac_actual:.1f}% > "
             f"{100 * max_overflow_frac:.0f}% — matrix is not affine-windowable")
-
-    ovf_mask = realb.reshape(n_pad, width) & ((d.reshape(n_pad, width) < 0)
-                                              | (d.reshape(n_pad, width) >= dspan))
     if ovf_mask.any():
         ridx, _k = np.nonzero(ovf_mask)
         orow = ridx.astype(np.int32)
@@ -453,17 +527,24 @@ def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: i
                     np.clip(d, 0, dspan - 1))
     lane = np.where(inert, 0, col & 127)
 
-    loc = (dfin.reshape(n_pad, width) * LANES + lane).astype(np.int32)
-    # kernel-facing (nb, width, nsub, 8, 128)
-    locb = np.transpose(loc.reshape(nb, nsub, SUBTILE_ROWS, width), (0, 3, 1, 2))
-    locb = locb.reshape(nb, width, nsub, 8, LANES)
+    # kernel-facing loc: LADDER slots only — rot slots never read per-entry indices, so
+    # their index planes are dropped from the operand (and from HBM traffic) entirely
+    if ladder_cols:
+        loc = (dfin.reshape(n_pad, width)[:, ladder_cols] * LANES
+               + lane[:, ladder_cols]).astype(np.int32)
+        locb = np.transpose(
+            loc.reshape(nb, nsub, SUBTILE_ROWS, len(ladder_cols)), (0, 3, 1, 2))
+        locb = locb.reshape(nb, len(ladder_cols), nsub, 8, LANES)
+    else:
+        locb = np.zeros((1, 1, 1, 8, LANES), np.int32)  # constant-index dummy block
     valt = np.transpose(val.reshape(nb, nsub, SUBTILE_ROWS, width), (0, 3, 1, 2))
     valt = valt.reshape(nb, width, nsub, 8, LANES)
 
     swin = 8 * nsub + 16  # t·8 + 16 must be readable for the last subtile
     itemsize = 8 if dtype == jnp.float64 else 4
     vmem = (width * swin * LANES * itemsize
-            + 2 * width * nsub * 8 * LANES * (4 + itemsize)
+            + 2 * max(len(ladder_cols), 1) * nsub * 8 * LANES * 4
+            + 2 * width * nsub * 8 * LANES * itemsize
             + 2 * nsub * 8 * LANES * itemsize)
     if vmem > 12 * 2 ** 20:
         raise GatherPackError(
@@ -480,12 +561,12 @@ def pack_gather_ell_affine(ell_col: np.ndarray, ell_val: np.ndarray, num_cols: i
         vals=jnp.asarray(valt, dtype),
         orow=jnp.asarray(orow), ocol=jnp.asarray(ocol), oval=jnp.asarray(oval, dtype),
         num_rows=n, num_cols=num_cols, width=width, nb=nb, nsub=nsub,
-        swin=swin, span=dspan, x_rows=x_rows,
+        swin=swin, span=dspan, x_rows=x_rows, rot=rot,
     )
 
 
 def _affine_kernel(ws_ref, loc_ref, vals_ref, x_hbm, y_ref, xw, sems, *,
-                   width: int, nsub: int, swin: int, dspan: int):
+                   width: int, nsub: int, swin: int, dspan: int, rot: tuple):
     b = pl.program_id(0)
     for k in range(width):
         pltpu.make_async_copy(
@@ -496,37 +577,63 @@ def _affine_kernel(ws_ref, loc_ref, vals_ref, x_hbm, y_ref, xw, sems, *,
             x_hbm.at[pl.ds(ws_ref[b * width + k], swin), :], xw.at[k], sems.at[k]
         ).wait()
 
+    # loc carries LADDER slots only (rot slots read no per-entry indices)
+    lpos = {k: i for i, k in enumerate(k for k in range(width) if rot[k] is None)}
     acc_dtype = jnp.float64 if y_ref.dtype == jnp.float64 else jnp.float32
     # STATIC subtile unroll: window views become aligned static slices — no dynamic
     # sublane slicing (the crash class documented in the module "design space" notes)
     for t in range(nsub):
         acc = jnp.zeros((8, LANES), acc_dtype)
         for k in range(width):
-            loc = loc_ref[0, k, t]
             v = vals_ref[0, k, t]
-            d = jax.lax.shift_right_logical(loc, jnp.asarray(7, loc.dtype))
-            lane = jax.lax.bitwise_and(loc, jnp.asarray(127, loc.dtype))
             win16 = xw[k, t * 8:t * 8 + 16, :]  # (16, 128) static aligned view
-            g = jnp.zeros((8, LANES), xw.dtype)
-            for s in range(dspan):
-                rows = jax.lax.slice(win16, (s, 0), (s + 8, LANES))  # value shift
-                got = jnp.take_along_axis(rows, lane, axis=1)
-                g = jnp.where(d == s, got, g)
+            if rot[k] is not None:
+                # ROT slot: exact diagonal — gather g[r,l] = win16[(l+cm)>>7 + r,
+                # (l+cm)&127] is a static lane rotation + a sublane step at the wrap
+                # column.  pltpu.roll(x, s)[.., l] = x[.., (l−s)%128], so s = 128−cm.
+                cm = rot[k] % LANES
+                if cm == 0:
+                    g = jax.lax.slice(win16, (0, 0), (8, LANES))
+                else:
+                    s = LANES - cm
+                    r0 = pltpu.roll(jax.lax.slice(win16, (0, 0), (8, LANES)),
+                                    shift=s, axis=1)
+                    r1 = pltpu.roll(jax.lax.slice(win16, (1, 0), (9, LANES)),
+                                    shift=s, axis=1)
+                    wrap = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1) >= s
+                    g = jnp.where(wrap, r1, r0)
+            else:
+                loc = loc_ref[0, lpos[k], t]
+                d = jax.lax.shift_right_logical(loc, jnp.asarray(7, loc.dtype))
+                lane = jax.lax.bitwise_and(loc, jnp.asarray(127, loc.dtype))
+                g = jnp.zeros((8, LANES), xw.dtype)
+                for s in range(dspan):
+                    rows = jax.lax.slice(win16, (s, 0), (s + 8, LANES))  # value shift
+                    got = jnp.take_along_axis(rows, lane, axis=1)
+                    g = jnp.where(d == s, got, g)
             acc = acc + (v * g).astype(acc_dtype)
         y_ref[pl.ds(t * 8, 8), :] = acc.astype(y_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
 def _spmv_affine_jit(ws, loc, vals, x128, *, meta, interpret):
-    width, nb, nsub, swin, dspan = meta
+    width, nb, nsub, swin, dspan, rot = meta
+    n_ladder = sum(1 for c in rot if c is None)
+    if n_ladder:
+        loc_spec = pl.BlockSpec((1, n_ladder, nsub, 8, LANES),
+                                lambda b, wsr: (b, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        # all slots rot: loc is a (1,1,1,8,128) dummy, same block every grid step
+        loc_spec = pl.BlockSpec((1, 1, 1, 8, LANES), lambda b, wsr: (0, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     kernel = functools.partial(_affine_kernel, width=width, nsub=nsub, swin=swin,
-                               dspan=dspan)
+                               dspan=dspan, rot=rot)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, width, nsub, 8, LANES), lambda b, wsr: (b, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            loc_spec,
             pl.BlockSpec((1, width, nsub, 8, LANES), lambda b, wsr: (b, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual window DMA
@@ -556,11 +663,13 @@ def spmv_gather_affine_arrays(ws, loc, vals, orow, ocol, oval, x128, *,
                               meta: tuple, interpret: bool = False):
     """Affine-variant apply; same contract as spmv_gather_ell_arrays."""
     interpret = _auto_interpret(interpret)
-    width, nb, nsub, swin, dspan, x_rows, num_rows = meta
+    width, nb, nsub, swin, dspan, x_rows, num_rows = meta[:7]
+    rot = meta[7] if len(meta) > 7 and meta[7] else (None,) * width
     assert x128.shape == (x_rows, LANES), (x128.shape, x_rows)
     with x64_off_for_32bit(vals, x128):
         y = _spmv_affine_jit(ws, loc, vals, x128,
-                             meta=(width, nb, nsub, swin, dspan), interpret=interpret)
+                             meta=(width, nb, nsub, swin, dspan, rot),
+                             interpret=interpret)
     y = y.astype(x128.dtype)
     if orow.shape[0]:
         contrib = (oval.astype(x128.dtype) * x128.reshape(-1)[ocol])

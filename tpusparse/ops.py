@@ -516,7 +516,10 @@ def _init_gather_ell(mat, dtype=None, variant: str = "auto") -> DeviceOperator:
     if variant in ("auto", "affine"):
         try:
             packed = _gell.pack_gather_ell_affine(ell.col, ell.val, ell.num_cols, dtype)
-            kern = "affine"
+            nrot = sum(1 for c in packed.rot if c is not None)
+            # rot slots (exact diagonals → lane-rotation kernel path, no index traffic)
+            # are recorded in the variant so artifacts say which program actually ran
+            kern = f"affine+rot{nrot}" if nrot else "affine"
         except _gell.GatherPackError as e:
             if variant == "affine":
                 raise
@@ -538,7 +541,7 @@ def _init_gather_ell(mat, dtype=None, variant: str = "auto") -> DeviceOperator:
     fshape = (packed.x_rows, _gell.LANES)
     interp = _is_cpu()
 
-    if kern == "affine":
+    if kern.startswith("affine"):
         def run_device_op(x, operands):
             w0, q, loc, vals, orow, ocol, oval = operands
             return _gell.spmv_gather_affine_arrays(w0, loc, vals, orow, ocol, oval,
