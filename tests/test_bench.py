@@ -246,9 +246,11 @@ class TestCeilingProbe:
         from tpusparse.bench import probes
 
         r = probes.measure_achievable_bw(n_elems=2 ** 16, k_lo=2, k_hi=6, reps=2)
-        for k in ("read_gbs", "copy_gbs", "triad_gbs", "achievable_gbs"):
+        for k in ("read_gbs", "copy_gbs", "triad_gbs", "mix7_gbs", "read6_gbs",
+                  "achievable_gbs"):
             assert r[k] > 0.0, (k, r)
-        assert r["achievable_gbs"] == max(r["read_gbs"], r["copy_gbs"], r["triad_gbs"])
+        assert r["achievable_gbs"] == max(
+            v for k, v in r.items() if k.endswith("_gbs") and k != "achievable_gbs")
 
     def test_achievable_fraction_in_metrics_and_export(self):
         st = generate.make_stencil5(16)

@@ -319,3 +319,80 @@ def test_const_operator_fused_cg_parity():
     x2, s2 = cg.cg_solve(op, b, fused_pupdate=True)
     assert s1.iterations == s2.iterations
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-10)
+
+
+@pytest.mark.parametrize("g", [13, 16, 24])
+@pytest.mark.parametrize("beta", [0.0, 0.7])
+def test_const_pupdate_dot_pipelined(g, beta):
+    """Recompute pass A: (p', <p',A·p'>) with A·p' never materialized ≡ the separate
+    passes (same oracle as the materializing fused kernel)."""
+    from tpusparse.kernels.stencil5 import spmv_stencil5_const_pupdate_dot_pipelined
+
+    st, dense, _, _ = _setup(g)
+    rng = np.random.RandomState(3)
+    r = rng.randn(g * g)
+    p = np.zeros(g * g) if beta == 0.0 else rng.randn(g * g)
+    pnew_ref = r + beta * p
+    y_ref = dense @ pnew_ref
+    pn, pap = spmv_stencil5_const_pupdate_dot_pipelined(
+        beta, jnp.asarray(r.reshape(g, g)), jnp.asarray(p.reshape(g, g)),
+        diag=5.0, offdiag=-1.0, block_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(pn).ravel(), pnew_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(pap), float(pnew_ref @ y_ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize("g", [13, 16, 24])
+def test_const_update_recompute_pipelined(g):
+    """Recompute pass B: (x', r', <r',r'>) with A·p recomputed from the p stream ≡
+    manual x + α·p, r − α·(dense @ p)."""
+    from tpusparse.kernels.stencil5 import cg_const_update_recompute_pipelined
+
+    st, dense, _, _ = _setup(g)
+    rng = np.random.RandomState(7)
+    x = rng.randn(g * g)
+    r = rng.randn(g * g)
+    p = rng.randn(g * g)
+    alpha = 0.37
+    x_ref = x + alpha * p
+    r_ref = r - alpha * (dense @ p)
+    xn, rn, rr = cg_const_update_recompute_pipelined(
+        alpha, jnp.asarray(x.reshape(g, g)), jnp.asarray(r.reshape(g, g)),
+        jnp.asarray(p.reshape(g, g)), diag=5.0, offdiag=-1.0, block_rows=8,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(xn).ravel(), x_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rn).ravel(), r_ref, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(float(rr), float(r_ref @ r_ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize("g", [13, 16])
+def test_const_operator_recompute_cg_parity(g):
+    """CG through the recompute-Ap loop (the stencil5-const AUTO default) ≡ the classic
+    3-pass loop: identical iteration count, matching solution."""
+    from tpusparse import ops
+    from tpusparse.solvers import cg
+
+    st = formats.Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
+    op = ops.get_operator("stencil5-const", st, dtype=jnp.float64)
+    b = jnp.ones((g, g), jnp.float64)
+    x1, s1 = cg.cg_solve(op, b, recompute_ap=False)
+    x2, s2 = cg.cg_solve(op, b, recompute_ap=True)
+    assert s1.converged and s2.converged
+    assert s1.iterations == s2.iterations
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-10)
+
+
+def test_recompute_ap_requires_operator_passes():
+    from tpusparse import ops
+    from tpusparse.solvers import cg
+
+    g = 8
+    st = formats.Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
+    op = ops.get_operator("stencil5-xla", st, dtype=jnp.float64)  # no recompute passes
+    b = jnp.ones((g, g), jnp.float64)
+    with pytest.raises(ValueError, match="recompute_ap"):
+        cg.cg_solve(op, b, recompute_ap=True)
+    # AUTO (None) silently falls back to the classic loop for such operators
+    x, s = cg.cg_solve(op, b)
+    assert s.converged

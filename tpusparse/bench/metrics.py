@@ -69,8 +69,14 @@ def bytes_dia(rows: int, ndiag: int, itemsize: int) -> int:
 
 
 def _bytes_ell_op(op, itemsize):
-    """Actual ELL traffic: every padded slot's value + its int32 index + x read + y write
-    (covers both the (rows, width) XLA layout and the Pallas kernel's blocked layout).
+    """Actual ELL traffic: every padded slot's value + the index planes the kernel actually
+    stores + x read + y write (covers both the (rows, width) XLA layout and the Pallas
+    kernel's blocked layout).
+
+    Index bytes come from the operand's REAL ``loc`` array, not width·rows·4: the affine
+    pack's rot slots (exact diagonals) carry no per-entry indices at all — at 20480² all
+    five stencil slots are rot, so the index planes (8.4 GB) are absent from both HBM and
+    this model (counting them would inflate the reported bandwidth ~2×).
 
     The Pallas gather kernel additionally DMAs a slot WINDOW of x per (block, slot) —
     nb·width·swin·128 elements per apply, often exceeding the single counted x read.  When
@@ -81,7 +87,14 @@ def _bytes_ell_op(op, itemsize):
     val = buf.get("val")
     if val is None:
         return bytes_csr(op.nnz, op.num_rows, itemsize)
-    nbytes = int(val.size) * (itemsize + 4) + op.num_rows * itemsize  # val+loc+y
+    loc = buf.get("loc")
+    if loc is not None:
+        idx_bytes = int(loc.size) * loc.dtype.itemsize  # what the pack actually stored
+    else:
+        col = buf.get("col")
+        idx_bytes = (int(col.size) * col.dtype.itemsize if col is not None
+                     else int(val.size) * 4)
+    nbytes = int(val.size) * itemsize + idx_bytes + op.num_rows * itemsize  # val+idx+y
     if all(k in buf for k in ("swin", "nb", "width")):
         nbytes += buf["nb"] * buf["width"] * buf["swin"] * 128 * itemsize
     else:

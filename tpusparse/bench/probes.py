@@ -78,6 +78,44 @@ def _triad_probe(iters: int):
     return run
 
 
+def _mix7_probe(iters: int):
+    """6-read:1-write mix — the values-carrying stencil kernel's exact access pattern
+    (5 coefficient streams + x read + y write, 7 words/element/pass).  Exists to give the
+    flagship stencil5 artifacts a ceiling measured for THEIR mix: the single-stream read
+    probe (712.7 GB/s on v5e) under-sells a controller serving several concurrent streams,
+    which round-4 artifacts surfaced as impossible `implied_bw_exceeds_measured_ceiling`
+    flags (721 GB/s kernel vs 713 GB/s probe).
+
+    Horner-style chain: v' = a1 + c·(a2 + c·(a3 + c·(a4 + c·(a5 + c·v)))) with a carried
+    scalar c that changes every pass — no subexpression is loop-invariant, so XLA cannot
+    hoist the coefficient streams out of the loop, and v-dependence forces a full re-read
+    of every stream each pass."""
+    @jax.jit
+    def run(a1, a2, a3, a4, a5):
+        def body(_, carry):
+            v, c = carry
+            c = c * 1.0000001
+            v = a1 + c * (a2 + c * (a3 + c * (a4 + c * (a5 + c * v))))
+            return v, c
+        v, _ = jax.lax.fori_loop(0, iters, body,
+                                 (jnp.zeros_like(a1), jnp.float32(1.0)))
+        return v
+    return run
+
+
+def _read6_probe(iters: int):
+    """6 concurrent read streams, no writes — measures whether multiple in-flight streams
+    sustain more aggregate read bandwidth than the single-stream read probe (memory
+    controllers typically need several streams' worth of outstanding requests to saturate)."""
+    @jax.jit
+    def run(a1, a2, a3, a4, a5, a6):
+        def body(_, s):
+            return s + (jnp.sum(a1 * s) + jnp.sum(a2 * s) + jnp.sum(a3 * s)
+                        + jnp.sum(a4 * s) + jnp.sum(a5 * s) + jnp.sum(a6 * s)) * 1e-30
+        return jax.lax.fori_loop(0, iters, body, jnp.ones((), a1.dtype))
+    return run
+
+
 def slope_seconds(t_lo: float, t_hi: float, k_lo: int, k_hi: int) -> float:
     """Per-pass seconds from paired-count timings, with the noise guard EVERY user of
     the differencing protocol must share (kernel_time_ms, bench.py, the probes).
@@ -140,11 +178,13 @@ def measure_probe_slope(make_probe, args, bytes_per_pass: int,
 
 
 def measure_achievable_bw(n_elems: int = 0, k_lo: int = 6, k_hi: int = 24,
-                          reps: int = 3) -> Dict:
+                          reps: int = 3, include_mixes: bool = True) -> Dict:
     """Run the probe suite; returns GB/s per probe plus the achievable ceiling.
 
     ``n_elems`` defaults to 2²⁸ f32 (1 GiB) on accelerators — per-pass time ≥ 1 ms, so the
-    slope is well-conditioned — and small on CPU (tests)."""
+    slope is well-conditioned — and small on CPU (tests).  ``include_mixes`` adds the
+    multi-stream probes (mix7 = the stencil kernel's 6R:1W pattern, read6 = 6 concurrent
+    read streams); the achievable ceiling is the max over every probe run."""
     if n_elems == 0:
         n_elems = 2 ** 28 if jax.default_backend() != "cpu" else 2 ** 20
     x = jnp.ones((n_elems // 128, 128), jnp.float32)
@@ -154,14 +194,27 @@ def measure_achievable_bw(n_elems: int = 0, k_lo: int = 6, k_hi: int = 24,
     read_gbs = measure_probe_slope(_read_probe, (x,), nbytes, k_lo, k_hi, reps)
     copy_gbs = measure_probe_slope(_copy_probe, (x,), 2 * nbytes, k_lo, k_hi, reps)
     triad_gbs = measure_probe_slope(_triad_probe, (x, b), 3 * nbytes, k_lo, k_hi, reps)
-    return {
+    out = {
         "probe_elems": int(x.size),
         "probe_protocol": f"paired-iteration slope (k={k_lo}/{k_hi}, best of {reps})",
         "read_gbs": read_gbs,
         "copy_gbs": copy_gbs,
         "triad_gbs": triad_gbs,
-        "achievable_gbs": max(read_gbs, copy_gbs, triad_gbs),
     }
+    if include_mixes:
+        # the mix probes need 5-6 live streams; half-size arrays keep the suite under
+        # ~3 GiB even on a 16 GB chip (per-pass bytes stay in the multi-ms range)
+        half_rows = max(x.shape[0] // 2, 1)
+        xs = [jnp.full((half_rows, 128), 1.0 + 1e-7 * i, jnp.float32)
+              for i in range(6)]
+        sbytes = xs[0].size * 4
+        out["mix7_gbs"] = measure_probe_slope(
+            _mix7_probe, tuple(xs[:5]), 7 * sbytes, k_lo, k_hi, reps)
+        out["read6_gbs"] = measure_probe_slope(
+            _read6_probe, tuple(xs), 6 * sbytes, k_lo, k_hi, reps)
+        del xs
+    out["achievable_gbs"] = max(v for k, v in out.items() if k.endswith("_gbs"))
+    return out
 
 
 def measure_onchip_knee(sizes_mib=(8, 32, 64, 128, 512),

@@ -35,6 +35,11 @@ def build_parser():
     p.add_argument("--ceiling-probe", action="store_true",
                    help="measure the achievable HBM ceiling (bench.probes) and report "
                         "roofline_fraction_achievable alongside the nominal fraction")
+    p.add_argument("--ceiling-from", default=None, metavar="PROBE_JSON",
+                   help="reuse a committed ceiling-probe artifact "
+                        "(scripts/probe_ceiling.py output) instead of re-running the "
+                        "probe suite per invocation — campaign runs probe once, "
+                        "every artifact then reports the same measured denominator")
     p.add_argument("--resident-x", action="store_true",
                    help="keep x device-resident across timed runs (upload once, read y "
                         "back once) — the reference's actual timed region "
@@ -101,7 +106,14 @@ def main(argv=None) -> int:
           f"(backend={info['backend']})")
 
     ceiling = None
-    if args.ceiling_probe:
+    if args.ceiling_from:
+        import json
+
+        with open(args.ceiling_from) as f:
+            probe = json.load(f)
+        ceiling = probe["achievable_gbs"]
+        print(f"[INFO] ceiling from {args.ceiling_from}: achievable {ceiling:.1f} GB/s")
+    elif args.ceiling_probe:
         from ..bench import probes
 
         probe = probes.measure_achievable_bw()

@@ -778,6 +778,288 @@ def spmv_stencil5_const_pipelined(x, halo_prev=None, halo_next=None, *, diag: fl
     return result
 
 
+# ---------------------------------------------------------------------------
+# Recompute-Ap CG passes (round 5): the 8-words/pt iteration.
+#
+# The default const CG iteration moves 11 words/pt (spmv+dot 2, fused x/r update 6,
+# p-update 3).  Ap is itself one word to write and one to read back — but for the
+# values-free stencil Ap is CHEAP TO RECOMPUTE: any pass already streaming p can form
+# A·p from the slab + its two boundary rows for free (VPU work against an HBM-bound
+# budget).  So the iteration restructures into exactly two passes and Ap never touches
+# HBM:
+#
+#   pass A  (p', <p',Ap'>) = pupdate_dot(β, r, p)   — reads r, p; writes p'       (3 words)
+#   pass B  (x', r', <r',r'>) = update_recompute(α, x, r, p')
+#           with A·p' recomputed from the p' stream — reads x, r, p'; writes x', r' (5 words)
+#
+# 8 words/pt/iter.  Ap' is computed twice (once per pass, bit-identically: same slab
+# shapes, same FMA order); the algorithm's algebra is unchanged — this is the classic
+# recompute-vs-materialize trade taken in the direction a bandwidth-bound chip wants.
+# Round-3's fused pupdate pass (4 words REPLACING 5 but with a 2R+2W mix) measured
+# slower than its byte model; these passes keep read-heavier mixes (2R:1W and 3R:2W)
+# and are judged by measurement, not the model (see docs/PERFORMANCE.md round-5 audit).
+# ---------------------------------------------------------------------------
+
+
+def _stencil5_const_pupd_dot_pipe_kernel(beta_ref, rm_ref, pm_ref, hprev_ref, hnext_ref,
+                                         pnew_ref, dot_ref, prev_r_ref, prev_p_ref,
+                                         prev_last_ref, *, diag: float, offdiag: float,
+                                         nrows_total: int, block_rows: int, gcols: int):
+    """Pass A: p' = r + β·p and <p', A·p'> — A·p' formed in registers, never stored."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    ni = nsteps - 1
+    bg = block_rows
+    beta = beta_ref[0, 0]
+
+    @pl.when(i >= 1)
+    def _compute():
+        j = i - 1
+        rm = prev_r_ref[:]
+        pm = prev_p_ref[:]
+        dtype = rm.dtype
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + j * bg
+        pnew = rm + beta * pm
+        pnew = jnp.where(lrow < nrows_total, pnew, jnp.zeros_like(pnew))
+
+        top_row = jnp.where(j == 0, hprev_ref[:], prev_last_ref[:])
+        bot_next = rm_ref[0:1, :] + beta * pm_ref[0:1, :]
+        bot_row = jnp.where(j == ni - 1, hnext_ref[:], bot_next)
+        xn = jnp.concatenate([top_row, pnew[:-1, :]], axis=0)
+        xs = jnp.concatenate([pnew[1:, :], bot_row], axis=0)
+        xs = jnp.where(lrow == nrows_total - 1, jnp.broadcast_to(bot_row, xs.shape), xs)
+        xw = jnp.concatenate([pnew[:, :1], pnew[:, :-1]], axis=1)
+        xe = jnp.concatenate([pnew[:, 1:], pnew[:, -1:]], axis=1)
+
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (bg, gcols), 1)
+        mask_w = (gcol > 0).astype(dtype)
+        mask_e = (gcol < gcols - 1).astype(dtype)
+
+        y = diag * pnew + offdiag * (xn + xs + mask_w * xw + mask_e * xe)
+        pnew_ref[:] = pnew
+
+        part = jnp.sum(jnp.where(lrow < nrows_total, pnew * y, jnp.zeros_like(y)))
+
+        @pl.when(j == 0)
+        def _():
+            dot_ref[0, 0] = jnp.zeros((), dot_ref.dtype)
+
+        dot_ref[0, 0] += part.astype(dot_ref.dtype)
+
+        # carry THIS slab's last p' row for slab j+1's north neighbor
+        prev_last_ref[:] = pnew[bg - 1 : bg, :]
+
+    @pl.when(i < ni)
+    def _carry():
+        prev_r_ref[:] = rm_ref[:]
+        prev_p_ref[:] = pm_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("diag", "offdiag", "block_rows", "interpret")
+)
+def spmv_stencil5_const_pupdate_dot_pipelined(beta, r, p, halo_prev=None, halo_next=None,
+                                              *, diag: float = 5.0, offdiag: float = -1.0,
+                                              block_rows: int = 0,
+                                              interpret: bool = False):
+    """(p', <p', A·p'>) where p' = r + β·p — pass A of the 8-words/pt recompute CG
+    iteration (3 words/pt: r, p read; p' write; A·p' lives only in registers).
+    β = 0 with p = 0 gives the first iteration (p' = r)."""
+    interpret = _auto_interpret(interpret)
+    rows, g = r.shape
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), r.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), r.dtype)
+    bg = block_rows or _pick_block_rows_const_pipe(g)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    ni = pl.cdiv(rows, bg)
+    if ni < 2:
+        pnew = r + jnp.asarray(beta, r.dtype) * p
+        y, pap = spmv_stencil5_const_pallas(pnew, halo_prev, halo_next, diag=diag,
+                                            offdiag=offdiag, with_dot=True,
+                                            interpret=interpret)
+        return pnew, pap
+    nsteps = ni + 1
+    b2 = jnp.asarray(beta, r.dtype).reshape(1, 1)
+
+    field_in_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.minimum(i, ni - 1), 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _stencil5_const_pupd_dot_pipe_kernel, diag=diag, offdiag=offdiag,
+        nrows_total=rows, block_rows=bg, gcols=g,
+    )
+    acc = jnp.float32 if r.dtype != jnp.float64 else jnp.float64
+    with x64_off_for_32bit(r, p):
+        pnew, dot = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                field_in_spec, field_in_spec, halo_spec, halo_spec,
+            ],
+            out_specs=[out_spec,
+                       pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, g), r.dtype),
+                jax.ShapeDtypeStruct((1, 1), acc),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bg, g), r.dtype),  # prev_r
+                pltpu.VMEM((bg, g), r.dtype),  # prev_p
+                pltpu.VMEM((1, g), r.dtype),  # previous slab's last p' row
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
+            cost_estimate=pl.CostEstimate(
+                flops=11 * rows * g,
+                bytes_accessed=3 * rows * g * r.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(b2, r, p, halo_prev, halo_next)
+    return pnew, dot[0, 0]
+
+
+def _stencil5_const_upd_recomp_pipe_kernel(alpha_ref, xm_ref, rm_ref, pm_ref, hprev_ref,
+                                           hnext_ref, xout_ref, rout_ref, rr_ref,
+                                           prev_x_ref, prev_r_ref, prev_p_ref,
+                                           prev_last_ref, *, diag: float, offdiag: float,
+                                           nrows_total: int, block_rows: int, gcols: int):
+    """Pass B: x' = x + α·p, r' = r − α·(A·p), <r', r'> — A·p recomputed from the p
+    stream (delay-by-one pipeline supplies p's neighbor rows), never read from HBM."""
+    i = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+    ni = nsteps - 1
+    bg = block_rows
+    alpha = alpha_ref[0, 0]
+
+    @pl.when(i >= 1)
+    def _compute():
+        j = i - 1
+        xm = prev_x_ref[:]
+        rm = prev_r_ref[:]
+        pm = prev_p_ref[:]
+        dtype = pm.dtype
+        lrow = jax.lax.broadcasted_iota(jnp.int32, (bg, 1), 0) + j * bg
+        pm = jnp.where(lrow < nrows_total, pm, jnp.zeros_like(pm))
+
+        top_row = jnp.where(j == 0, hprev_ref[:], prev_last_ref[:])
+        bot_row = jnp.where(j == ni - 1, hnext_ref[:], pm_ref[0:1, :])
+        pn = jnp.concatenate([top_row, pm[:-1, :]], axis=0)
+        ps = jnp.concatenate([pm[1:, :], bot_row], axis=0)
+        ps = jnp.where(lrow == nrows_total - 1, jnp.broadcast_to(bot_row, ps.shape), ps)
+        pw = jnp.concatenate([pm[:, :1], pm[:, :-1]], axis=1)
+        pe = jnp.concatenate([pm[:, 1:], pm[:, -1:]], axis=1)
+
+        gcol = jax.lax.broadcasted_iota(jnp.int32, (bg, gcols), 1)
+        mask_w = (gcol > 0).astype(dtype)
+        mask_e = (gcol < gcols - 1).astype(dtype)
+
+        ap = diag * pm + offdiag * (pn + ps + mask_w * pw + mask_e * pe)
+        xout_ref[:] = xm + alpha * pm
+        rnew = rm - alpha * ap
+        rout_ref[:] = rnew
+
+        part = jnp.sum(jnp.where(lrow < nrows_total, rnew * rnew, jnp.zeros_like(rnew)))
+
+        @pl.when(j == 0)
+        def _():
+            rr_ref[0, 0] = jnp.zeros((), rr_ref.dtype)
+
+        rr_ref[0, 0] += part.astype(rr_ref.dtype)
+
+    # carry: slab i-1's last p row becomes the two-back north row, just-fetched slabs
+    # become one-back (same discipline as _stencil5_const_pipe_kernel)
+    @pl.when(i < ni)
+    def _carry():
+        @pl.when(i >= 1)
+        def _():
+            prev_last_ref[:] = prev_p_ref[bg - 1 : bg, :]
+
+        prev_x_ref[:] = xm_ref[:]
+        prev_r_ref[:] = rm_ref[:]
+        prev_p_ref[:] = pm_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("diag", "offdiag", "block_rows", "interpret")
+)
+def cg_const_update_recompute_pipelined(alpha, x, r, p, halo_prev=None, halo_next=None,
+                                        *, diag: float = 5.0, offdiag: float = -1.0,
+                                        block_rows: int = 0, interpret: bool = False):
+    """(x', r', <r', r'>) with x' = x + α·p and r' = r − α·A·p — pass B of the
+    8-words/pt recompute CG iteration (5 words/pt: x, r, p read; x', r' write; A·p
+    recomputed in registers from the p stream the pass is already reading).
+
+    Halo rows are the NEIGHBOR's p boundary rows (or zeros at the grid edge)."""
+    interpret = _auto_interpret(interpret)
+    rows, g = r.shape
+    if halo_prev is None:
+        halo_prev = jnp.zeros((1, g), r.dtype)
+    if halo_next is None:
+        halo_next = jnp.zeros((1, g), r.dtype)
+    bg = block_rows or _pick_block_rows_const_pipe(g)
+    bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
+    ni = pl.cdiv(rows, bg)
+    if ni < 2:
+        a = jnp.asarray(alpha, r.dtype)
+        ap = spmv_stencil5_const_pallas(p, halo_prev, halo_next, diag=diag,
+                                        offdiag=offdiag, interpret=interpret)
+        xnew = x + a * p
+        rnew = r - a * ap
+        return xnew, rnew, jnp.vdot(rnew, rnew)
+    nsteps = ni + 1
+    a2 = jnp.asarray(alpha, r.dtype).reshape(1, 1)
+
+    field_in_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.minimum(i, ni - 1), 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec((1, g), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (bg, g), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _stencil5_const_upd_recomp_pipe_kernel, diag=diag, offdiag=offdiag,
+        nrows_total=rows, block_rows=bg, gcols=g,
+    )
+    acc = jnp.float32 if r.dtype != jnp.float64 else jnp.float64
+    with x64_off_for_32bit(x, r, p):
+        xnew, rnew, rr = pl.pallas_call(
+            kernel,
+            grid=(nsteps,),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+                field_in_spec, field_in_spec, field_in_spec, halo_spec, halo_spec,
+            ],
+            out_specs=[out_spec, out_spec,
+                       pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, g), r.dtype),
+                jax.ShapeDtypeStruct((rows, g), r.dtype),
+                jax.ShapeDtypeStruct((1, 1), acc),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bg, g), r.dtype),  # prev_x
+                pltpu.VMEM((bg, g), r.dtype),  # prev_r
+                pltpu.VMEM((bg, g), r.dtype),  # prev_p
+                pltpu.VMEM((1, g), r.dtype),  # slab i-2's last p row
+            ],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
+            cost_estimate=pl.CostEstimate(
+                flops=13 * rows * g,
+                bytes_accessed=5 * rows * g * r.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(a2, x, r, p, halo_prev, halo_next)
+    return xnew, rnew, rr[0, 0]
+
+
 def _pick_block_rows_const_pupd(g: int) -> int:
     """Slab height for the FUSED values-free pass: 2 in (r, p) + 2 out (p', A·p') double-
     buffered + 2 carried scratch slabs = 10 slabs of bg·g f32 per step; 320K elements/slab

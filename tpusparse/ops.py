@@ -76,6 +76,12 @@ class DeviceOperator:
     run_device_dot_op: Optional[Callable] = None
     # optional fused CG pass: (beta, r, p, operands) -> (p', A·p', <p', A·p'>)
     run_fused_pupdate_op: Optional[Callable] = None
+    # optional recompute-Ap CG passes (the 8-words/pt iteration, kernels/stencil5.py
+    # round-5 block comment): Ap never touches HBM —
+    #   run_pupdate_dot_op(beta, r, p, operands) -> (p', <p', A·p'>)          (3 words/pt)
+    #   run_update_recompute_op(alpha, x, r, p, operands) -> (x', r', <r',r'>) (5 words/pt)
+    run_pupdate_dot_op: Optional[Callable] = None
+    run_update_recompute_op: Optional[Callable] = None
 
     @property
     def field_elems(self) -> int:
@@ -285,6 +291,8 @@ class DeviceOperator:
         self.run_device_op = _freed
         self.run_device_dot_op = _freed
         self.run_fused_pupdate_op = None
+        self.run_pupdate_dot_op = None
+        self.run_update_recompute_op = None
         # the chain program's closure captures the pre-free run_device_op (and through
         # it the operands) — dropping it here is what actually releases that memory
         if getattr(self, "_chain_jit", None) is not None:
@@ -399,6 +407,17 @@ def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
         return _st5.spmv_stencil5_const_pupdate_pipelined(
             beta, r, p, diag=diag, offdiag=offdiag, interpret=interp)
 
+    def run_pupdate_dot_op(beta, r, p, operands):
+        """Pass A of the 8-words/pt recompute-Ap iteration: (p', <p', A·p'>), A·p' never
+        written to HBM (kernels/stencil5.py round-5 block comment)."""
+        return _st5.spmv_stencil5_const_pupdate_dot_pipelined(
+            beta, r, p, diag=diag, offdiag=offdiag, interpret=interp)
+
+    def run_update_recompute_op(alpha, x, r, p, operands):
+        """Pass B: (x', r', <r', r'>) with A·p recomputed from the p stream."""
+        return _st5.cg_const_update_recompute_pipelined(
+            alpha, x, r, p, diag=diag, offdiag=offdiag, interpret=interp)
+
     return DeviceOperator(
         name="stencil5-const", num_rows=g * g, num_cols=g * g, nnz=st.nnz,
         field_shape=(g, g), run_device=run_device, run_device_dot=run_device_dot,
@@ -406,6 +425,8 @@ def _init_stencil5_const(st: Stencil5, dtype=None) -> DeviceOperator:
         operands=(), run_device_op=lambda x, _o: run_device(x),
         run_device_dot_op=lambda x, _o: run_device_dot(x),
         run_fused_pupdate_op=run_fused_pupdate_op,
+        run_pupdate_dot_op=run_pupdate_dot_op,
+        run_update_recompute_op=run_update_recompute_op,
     )
 
 

@@ -137,7 +137,8 @@ def _vdot2(a, b):
 def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = None,
              spmv: Optional[Callable] = None, use_pallas_blas1: Optional[bool] = None,
              interpret: bool = False, b_is_ones: bool = False,
-             fused_pupdate: Optional[bool] = None):
+             fused_pupdate: Optional[bool] = None,
+             recompute_ap: Optional[bool] = None):
     """Device-resident CG solve.  Returns (x, CGStats).
 
     Args:
@@ -155,6 +156,12 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         provides one (run_fused_pupdate_op) — one fewer full-field HBM read per iteration.
         Strictly OPT-IN (None → off): measured slower on v5e despite the byte savings
         (write-cost asymmetry, see docs/PERFORMANCE.md); mathematically identical either way.
+      recompute_ap: the 8-words/pt two-pass iteration (run_pupdate_dot_op +
+        run_update_recompute_op): Ap is recomputed in registers by both passes and never
+        touches HBM — 11 → 8 words/pt/iter for the values-free operator.  None → AUTO:
+        on when the operator provides both passes (measured faster at every benchmark
+        grid, docs/PERFORMANCE.md round-5 per-iteration audit); False forces the classic
+        3-pass loop; True errors if the operator lacks the passes.
     """
     config = config or CGConfig()
     use_pallas_blas1 = _resolve_blas1(use_pallas_blas1)
@@ -175,11 +182,23 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         # reliable wall-time win over XLA's separate passes (write-heavy mix; see
         # docs/PERFORMANCE.md ceiling probes) — keep the proven default
         fused = getattr(op, "run_fused_pupdate_op", None) if fused_pupdate else None
+        # recompute-Ap loop: AUTO-on when the operator provides both passes (measured
+        # faster; see docstring), unless the caller forces the classic loop
+        pupd_dot = getattr(op, "run_pupdate_dot_op", None)
+        upd_rec = getattr(op, "run_update_recompute_op", None)
+        recomp = None
+        if recompute_ap is not False and fused is None \
+                and pupd_dot is not None and upd_rec is not None:
+            recomp = (pupd_dot, upd_rec)
+        if recompute_ap is True and recomp is None:
+            raise ValueError("recompute_ap requested but the operator lacks "
+                             "run_pupdate_dot_op/run_update_recompute_op "
+                             "(or fused_pupdate was also requested)")
         # cache key holds the CALLABLE itself, not id(): function objects hash by identity
         # and the key's strong reference pins them, so a freed operator's id can never be
         # recycled into a false cache hit (the id()-keying correctness hazard)
         key_id = ("op", op.name, op.num_rows, op.run_device_dot_op, nonzero_x0,
-                  fused is not None)
+                  fused is not None, recomp is not None)
     else:
         if nonzero_x0 and spmv is None:
             raise ValueError(
@@ -190,6 +209,10 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
         operands = ()
         spmv_op = (lambda x, _o: spmv(x)) if nonzero_x0 else None
         fused = None
+        recomp = None
+        if recompute_ap is True:
+            raise ValueError("recompute_ap requires a DeviceOperator with the "
+                             "recompute passes, not a bare spmv_dot callable")
         key_id = ("fn", _IdentityKey.wrap(operator_or_spmv_dot), _IdentityKey.wrap(spmv),
                   nonzero_x0)
     if fused_pupdate is True and fused is None:
@@ -197,7 +220,7 @@ def cg_solve(operator_or_spmv_dot, b, x0=None, *, config: Optional[CGConfig] = N
                          "run_fused_pupdate_op")
     solve = _build_solver(spmv_dot, spmv_op, use_pallas_blas1, interpret,
                           config.max_iters, float(config.tolerance), b, key_id,
-                          synth_b=b_is_ones, fused=fused)
+                          synth_b=b_is_ones, fused=fused, recomp=recomp)
     t0 = time.perf_counter()
     if b_is_ones:
         x, scalars = solve(operands)
@@ -252,7 +275,7 @@ _SOLVER_CACHE = {}
 
 
 def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolerance,
-                  example_b, key_id, synth_b: bool = False, fused=None):
+                  example_b, key_id, synth_b: bool = False, fused=None, recomp=None):
     """Build the jitted solve.  ``spmv_dot(p, operands)`` / ``spmv(x, operands)`` take the
     operator's device arrays explicitly so they enter the compiled program as runtime
     arguments, never inline constants.  Call ``solve(b, x0, operands)``, or
@@ -260,7 +283,12 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
 
     ``fused``: optional (beta, r, p, operands) -> (p', A·p', <p',A·p'>) pass; the loop then
     carries (x, r, p_prev, rr, rr_prev, k) and computes β and the p-update INSIDE the SpMV
-    pass — same arithmetic per element, one fewer full-field HBM read per iteration."""
+    pass — same arithmetic per element, one fewer full-field HBM read per iteration.
+
+    ``recomp``: optional (pupd_dot, upd_rec) pass pair — the 8-words/pt recompute-Ap
+    iteration (kernels/stencil5.py round-5 block comment): pass A forms p' = r + β·p and
+    <p', A·p'> (Ap' in registers), pass B forms x', r', <r', r'> recomputing A·p' from
+    the p' stream.  Same algebra, Ap never materialized in HBM."""
     key = (key_id, use_pallas_blas1, interpret, max_iters, tolerance,
            example_b.shape, str(example_b.dtype), synth_b)
     if key in _SOLVER_CACHE:
@@ -282,6 +310,24 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
                 x = x + alpha * p
                 r = r - alpha * ap
                 rr_new = _vdot2(r, r)
+            return x, r, p, rr_new, rr, k + 1
+
+        return step
+
+    def _recompute_step(operands):
+        from ..bench import profiling
+
+        pupd_dot, upd_rec = recomp
+
+        def step(state):
+            x, r, p_prev, rr, rr_prev, k = state
+            beta = jnp.where(k == 0, jnp.zeros((), x.dtype),
+                             (rr / rr_prev).astype(x.dtype))
+            with profiling.scope(profiling.PHASE_SPMV):
+                p, pap = pupd_dot(beta, r, p_prev, operands)
+            alpha = (rr / pap).astype(x.dtype)
+            with profiling.scope(profiling.PHASE_AXPY):
+                x, r, rr_new = upd_rec(alpha, x, r, p, operands)
             return x, r, p, rr_new, rr, k + 1
 
         return step
@@ -311,14 +357,15 @@ def _build_solver(spmv_dot, spmv, use_pallas_blas1, interpret, max_iters, tolera
         b_norm = jnp.sqrt(bb)
         tol2 = (tolerance * tolerance) * bb  # converged ⇔ rr < tol²·‖b‖²
 
-        if fused is not None:
+        if fused is not None or recomp is not None:
             def fcond(state):
                 return jnp.logical_and(state[5] < max_iters, state[3] > tol2)
 
             fstate0 = (x0, r0, jnp.zeros_like(r0), rr0, jnp.ones_like(rr0),
                        jnp.zeros((), jnp.int32))
-            x, r, p, rr, _rrp, k = jax.lax.while_loop(
-                fcond, _fused_step(operands), fstate0)
+            step = _fused_step(operands) if fused is not None \
+                else _recompute_step(operands)
+            x, r, p, rr, _rrp, k = jax.lax.while_loop(fcond, step, fstate0)
             sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
             return x, jnp.stack([rr.astype(sdt), k.astype(sdt), b_norm.astype(sdt)])
 
