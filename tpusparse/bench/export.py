@@ -102,9 +102,13 @@ def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
                    bench_stats: Optional[BenchmarkStats], sysinfo: Dict[str, Any],
                    sum_x: float, norm2_x: float,
                    gflops_spmv: Optional[float] = None,
-                   extra_timing: Optional[Dict[str, float]] = None) -> Dict[str, Any]:
+                   extra_timing: Optional[Dict[str, float]] = None,
+                   loop: Optional[str] = None) -> Dict[str, Any]:
     """``gflops_spmv=None`` OMITS performance.gflops_spmv: the field exists only when the
-    SpMV phase time was actually measured — never derived from an invented share."""
+    SpMV phase time was actually measured — never derived from an invented share.
+    ``loop`` records which iteration structure actually executed (e.g. "recompute-ap",
+    "fused-classic", "host-stepped") so artifacts are self-describing about the program
+    that produced them."""
     timing = {
         "total_median_ms": bench_stats.median_ms if bench_stats else cg_stats.total_time_ms,
         "total_mean_ms": bench_stats.mean_ms if bench_stats else cg_stats.total_time_ms,
@@ -138,6 +142,7 @@ def cg_result_dict(*, solver: str, mode: str, matrix_name: str, op, cg_stats,
         "benchmark_type": "cg",
         "solver": solver,
         "mode": mode,
+        **({"loop": loop} if loop else {}),
         "device": sysinfo,
         "matrix": {
             "name": matrix_name,

@@ -37,6 +37,11 @@ def build_parser():
                         "correctness/fallback path, cg_solver.cu:172-181)")
     p.add_argument("--device", action="store_true",
                    help="device-native fused loop (the default; reference --device)")
+    p.add_argument("--loop", default="auto", choices=["auto", "classic", "recompute"],
+                   help="iteration structure: 'recompute' = the 8-words/pt recompute-Ap "
+                        "two-pass loop (operators that provide it; stencil5-const), "
+                        "'classic' = the 3-pass loop, 'auto' = recompute when available "
+                        "(measured faster).  The artifact records which one ran.")
     p.add_argument("--json", default=None)
     p.add_argument("--csv", default=None)
     p.add_argument("--runs", type=int, default=10)
@@ -89,6 +94,21 @@ def main(argv=None) -> int:
     config = cg.CGConfig(max_iters=args.maxiter, tolerance=args.tol,
                          verbose=args.verbose, enable_detailed_timers=args.timers)
 
+    recompute_ap = {"auto": None, "classic": False, "recompute": True}[args.loop]
+    # which loop actually executes (mirrors cg_solve's auto selection) — exported below
+    recomp_avail = (op.run_pupdate_dot_op is not None
+                    and op.run_update_recompute_op is not None)
+    if recompute_ap is True and not recomp_avail:
+        print(f"[ERROR] --loop=recompute: mode '{args.mode}' provides no recompute "
+              "passes (stencil5-const does)", file=sys.stderr)
+        return 2
+    if host_path:
+        loop_kind = "host-stepped"
+    elif recompute_ap is not False and recomp_avail:
+        loop_kind = "recompute-ap"
+    else:
+        loop_kind = "fused-classic"
+
     def run_solve():
         t0 = time.perf_counter()
         if host_path:
@@ -96,7 +116,8 @@ def main(argv=None) -> int:
         else:
             # unpadded field: let the solve synthesize b = ones in-graph (reclaims the
             # b/x0 buffers — matters at 20k²); padded field: pass the zero-tailed buffer
-            x, st = cg.cg_solve(op, b, config=config, b_is_ones=not padded_field)
+            x, st = cg.cg_solve(op, b, config=config, b_is_ones=not padded_field,
+                                recompute_ap=recompute_ap)
         ms = (time.perf_counter() - t0) * 1e3
         return ms, (x, st)
 
@@ -136,7 +157,7 @@ def main(argv=None) -> int:
         solver="tpusparse-cg", mode=args.mode, matrix_name=name, op=op,
         cg_stats=cg_stats, bench_stats=bench, sysinfo=info,
         sum_x=float(x_host.sum()), norm2_x=float(np.linalg.norm(x_host)),
-        gflops_spmv=gfl, extra_timing=extra_timing,
+        gflops_spmv=gfl, extra_timing=extra_timing, loop=loop_kind,
     )
     export.print_human_cg(result)
 
