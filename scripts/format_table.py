@@ -39,9 +39,10 @@ ABSENT = {
     ("csr-xla", 15360): "see 4096 row (OOM grows with n)",
     ("csr-xla", 20480): "see 4096 row (OOM grows with n)",
     ("bcoo", 15360): "~24 s/apply extrapolated (1.72 s at 4096², linear in nnz); "
-                     "measured through 10240; CG head-to-head at 4096 in "
-                     "GENERIC_COMPARISON.md",
-    ("bcoo", 20480): "see 15360 row",
+                     "measured through 4096 committed (10240 attempt in round-5 "
+                     "campaign); CG head-to-head at 4096 in GENERIC_COMPARISON.md",
+    ("bcoo", 20480): "see 15360 row; additionally nnz·(4+8) B of BCOO index+value "
+                     "device arrays = 25 GB > 15.75 GB HBM",
     ("dia-xla", 15360): "oracle role only (validates the Pallas DIA kernel); measured "
                         "through 10240",
     ("dia-xla", 20480): "oracle role only; measured through 10240",
@@ -107,6 +108,153 @@ def write_csv(rows, absent, sizes, path):
             w.writerow(r)
 
 
+def _fmt_ms(ms):
+    return f"{ms:.2f} ms" if ms >= 0.1 else f"{ms * 1e3:.0f} µs"
+
+
+def write_generic_comparison(rows, results_dir, path):
+    """REGENERATE docs/results/GENERIC_COMPARISON.md entirely from the artifacts beside
+    it.  Rounds 3 and 4 both shipped this document with numbers its own directory's
+    artifacts contradicted (the builder's tooling existed but was never applied) — the fix
+    is for the TOOL to own the file: every number below is read from a committed JSON at
+    generation time, and a human never edits the file again."""
+    def cell(mode, g, field="ms"):
+        r = rows.get((mode, g))
+        return r[field] if r else None
+
+    sizes = [2048, 4096, 10240, 15360, 20480]
+    lines = [
+        "# STENCIL5 vs the generic gather baseline (the reference's headline comparison)",
+        "",
+        "The reference's central claim is its format comparison table (reference "
+        "README.md:110-116):",
+        "STENCIL5 vs cuSPARSE CSR at 10k-20k grids, 2.06-2.08x speedup on A100.  This is "
+        "the same",
+        "experiment on one TPU v5 lite (f32, paired-chain-differencing kernel times — the "
+        "slope",
+        "protocol of docs/PERFORMANCE.md; artifacts in this directory).",
+        "",
+        "REGENERATED by `python scripts/format_table.py --write-doc` from the JSON "
+        "artifacts",
+        "in this directory — do not hand-edit numbers.",
+        "",
+        "| Matrix size | csr (hand Pallas gather) | STENCIL5 (Pallas pipelined) | "
+        "Speedup | Bandwidth (stencil5) |",
+        "|---|---|---|---|---|",
+    ]
+    flagged = False
+    for g in sizes:
+        c, s = cell("csr", g), cell("stencil5", g)
+        if c is None or s is None:
+            continue
+        sr = rows[("stencil5", g)]
+        cv = rows[("csr", g)].get("raw", {}).get("benchmark", {}).get("kernel_variant")
+        if sr["flags"]:
+            # sub-knee working set: the implied bandwidth is an on-chip figure, not an
+            # HBM roofline claim (performance.timing_flags in the artifact)
+            bw = f"{sr['gbs']:.0f} GB/s† (on-chip regime)"
+            flagged = True
+        else:
+            bw = f"{sr['gbs']:.0f} GB/s" + (
+                f" = {100 * sr['frac_ach']:.1f}% of the measured ceiling"
+                if sr.get("frac_ach") else "")
+        unk = g * g / 1e6
+        lines.append(
+            f"| **{g}²** ({unk:.1f}M unknowns) | {_fmt_ms(c)}"
+            + (f" ({cv} pack)" if cv else "")
+            + f" | {_fmt_ms(s)} | **{c / s:.1f}×** | {bw} |")
+    if flagged:
+        lines += ["",
+                  "† working set below the measured on-chip residency knee (128 MiB): "
+                  "chained applies run from on-chip memory, so the implied bandwidth is "
+                  "an on-chip figure, not an HBM roofline claim — see the artifact's "
+                  "`performance.timing_flags`."]
+    g0 = 2048
+    cx, bc, ch, st = (cell("csr-xla", g0), cell("bcoo", g0), cell("csr", g0),
+                      cell("stencil5", g0))
+    if cx and bc and ch and st:
+        lines += [
+            "",
+            "And against the *platform's own* generic sparse facilities (what a JAX user "
+            "gets without a",
+            f"hand kernel) at {g0}² — the sizes where they run at all:",
+            "",
+            "| Generic path | 2048² SpMV | vs the hand gather kernel | vs STENCIL5 |",
+            "|---|---|---|---|",
+            f"| `csr-xla` (XLA gather over ELL) | {_fmt_ms(cx)} | {cx / ch:.0f}× slower "
+            f"| {cx / st:.0f}× |",
+            f"| `bcoo` (`jax.experimental.sparse`) | {_fmt_ms(bc)} | {bc / ch:.0f}× "
+            f"slower | {bc / st:.0f}× |",
+        ]
+    # CG head-to-head from the committed solver artifacts
+    try:
+        with open(os.path.join(results_dir, "cg_4096_v5e.json")) as f:
+            cg_st = json.load(f)
+        with open(os.path.join(results_dir, "cg_baseline_bcoo_4096.json")) as f:
+            cg_bc = json.load(f)
+        t_st = cg_st["timing"]["total_median_ms"]
+        t_bc = cg_bc["timing"]["total_median_ms"]
+        i_st = cg_st["convergence"]["iterations"]
+        i_bc = cg_bc["convergence"]["iterations"]
+        lines += [
+            "",
+            "End-to-end CG head-to-head at a NON-toy size (the AmgX-comparison role, "
+            "SURVEY §2.7 —",
+            "artifacts `cg_baseline_bcoo_4096.json`, `cg_4096_v5e.json`):",
+            "",
+            "| solver @ 4096² (16.8M unknowns) | median | iterations |",
+            "|---|---|---|",
+            f"| stencil5 CG | **{t_st:.1f} ms** | {i_st} |",
+            f"| bcoo (`jax.experimental.sparse`) CG | {t_bc:,.0f} ms | {i_bc}"
+            + (" (identical)" if i_bc == i_st else "") + " |",
+        ]
+    except FileNotFoundError:
+        pass
+    c10, s10 = cell("csr", 10240), cell("stencil5", 10240)
+    ratio10 = f"{c10 / s10:.1f}×" if c10 and s10 else "n/a"
+    lines += [
+        "",
+        "Reading the tables together:",
+        "",
+        "- The reference's 2.07× is cuSPARSE (a hand-tuned gather kernel) vs a hand "
+        "stencil kernel.",
+        "  The honest TPU analog of cuSPARSE is our hand Pallas gather kernel "
+        "(`mode=csr`,",
+        "  kernels/gather_ell.py) — windowed ELL with pack-time measured column locality "
+        "(affine",
+        "  windows + exact-diagonal rot slots), the same family of tricks cuSPARSE's "
+        "adaptive",
+        f"  paths use.  Against it, structure exploitation is worth {ratio10} at 10240² "
+        "on TPU",
+        "  (vs 2.07× on A100): even a good TPU gather pays index arithmetic and window "
+        "DMA",
+        "  overfetch the stencil formulation never executes.",
+        "- The XLA-gather/BCOO rows are the gap the reference never shows: its \"generic "
+        "baseline\"",
+        "  is already a decade-tuned vendor kernel.  On TPU that baseline had to be "
+        "built (this",
+        "  repo); XLA's own gather lowering is not a credible SpMV baseline.",
+        "- CG end-to-end with each operator converges in the identical iteration count — "
+        "the",
+        "  operator seam guarantees the comparison is apples-to-apples.",
+        "",
+        "Reproduce:",
+        "",
+        "```bash",
+        "python -m tpusparse.cli.spmv_bench gen:10240 --mode=stencil5,csr --runs=10 "
+        "--resident-x \\",
+        "    --ceiling-from=docs/results/ceiling_probe_tpu_v5_lite.json",
+        "python scripts/run_all.py --size=4096   # includes the CG head-to-heads",
+        "python scripts/format_table.py --write-doc --csv "
+        "docs/results/spmv_format_table.csv",
+        "```",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="docs/results")
@@ -114,6 +262,9 @@ def main() -> int:
     ap.add_argument("--csv", default=None,
                     help="also REGENERATE this CSV from the artifacts (replaces the "
                          "append-mode file; measured + explained-absence rows)")
+    ap.add_argument("--write-doc", action="store_true",
+                    help="REGENERATE docs/results/GENERIC_COMPARISON.md from the "
+                         "artifacts (the tool owns the document; no hand-edited numbers)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
     rows = load_rows(args.dir)
@@ -142,6 +293,10 @@ def main() -> int:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         write_csv(rows, ABSENT, sizes, args.csv)
         print(f"\n[csv regenerated: {args.csv}]", file=sys.stderr)
+    if args.write_doc:
+        doc = write_generic_comparison(
+            rows, args.dir, os.path.join(args.dir, "GENERIC_COMPARISON.md"))
+        print(f"[doc regenerated: {doc}]", file=sys.stderr)
     return 0
 
 
