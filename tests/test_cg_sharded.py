@@ -47,6 +47,21 @@ def test_sharded_iteration_parity(ndev, mode):
 
 
 @_f64_kernels
+def test_sharded_recompute_matches_classic():
+    """Sharded recompute-Ap loop (the stencil5-const auto default) ≡ the classic loop:
+    identical iteration count and solution, identical per-iteration halo volume."""
+    g = 16
+    mesh = _mesh(8)
+    x1, s1 = cg_sharded.cg_solve_sharded(mesh, g, mode="stencil5-const",
+                                         dtype=jnp.float64, recompute_ap=False)
+    x2, s2 = cg_sharded.cg_solve_sharded(mesh, g, mode="stencil5-const",
+                                         dtype=jnp.float64, recompute_ap=True)
+    assert s1.converged and s2.converged
+    assert s1.iterations == s2.iterations
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-10)
+
+
+@_f64_kernels
 def test_sharded_checksums_match_across_shard_counts():
     """Sum(x)/Norm2(x) identical across shard counts within FP-reassociation tolerance
     (the reference documents ~0.15% variation for AmgX; ours is f64 + identical reduction

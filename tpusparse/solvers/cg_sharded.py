@@ -35,7 +35,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels import blas1
 from ..kernels.stencil5 import (
+    cg_const_update_recompute_pipelined,
     spmv_stencil5_const_pipelined,
+    spmv_stencil5_const_pupdate_dot_pipelined,
     spmv_stencil5_pipelined,
 )
 from .cg import CGConfig, CGStats, _resolve_blas1
@@ -387,10 +389,11 @@ _SOLVER_CACHE = {}
 
 
 def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
-                          use_pallas_blas1: bool, synth_b: bool = False):
+                          use_pallas_blas1: bool, synth_b: bool = False,
+                          recompute: bool = False):
     # op.mesh (not id(op.mesh)): see the _OPERATOR_CACHE key comment
     key = (op.mesh, op.grid_size, op.mode, op.diag, op.offdiag, str(op.dtype),
-           op.overlap, max_iters, tolerance, use_pallas_blas1, synth_b)
+           op.overlap, max_iters, tolerance, use_pallas_blas1, synth_b, recompute)
     if key in _SOLVER_CACHE:
         return _SOLVER_CACHE[key]
 
@@ -448,8 +451,41 @@ def _build_sharded_solver(op: ShardedOperator, max_iters: int, tolerance: float,
                 p = r + beta * p
             return x, r, p, rr_new, k + 1
 
-        state0 = (jnp.zeros_like(b_l), r0, r0, rr0, jnp.zeros((), jnp.int32))
-        x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
+        def step_recompute(state):
+            """The 8-words/pt recompute-Ap iteration, sharded (kernels/stencil5.py
+            round-5 block comment).  Comm volume is IDENTICAL to the classic loop —
+            the p' boundary rows are computed locally (p' = r + β·p is elementwise)
+            and exchanged as the halo, one row per neighbor per iteration; the two
+            Pallas passes then consume the same halo rows."""
+            x, r, p, rr, rr_prev, k = state
+            beta = jnp.where(k == 0, jnp.zeros((), x.dtype),
+                             (rr / rr_prev).astype(x.dtype))
+            from ..bench import profiling
+
+            with profiling.scope(profiling.PHASE_HALO):
+                down = [(i, i + 1) for i in range(naxis - 1)]
+                up = [(i + 1, i) for i in range(naxis - 1)]
+                hp = jax.lax.ppermute(r[-1:, :] + beta * p[-1:, :], axis, down)
+                hn = jax.lax.ppermute(r[:1, :] + beta * p[:1, :], axis, up)
+            pnew, pap_local = spmv_stencil5_const_pupdate_dot_pipelined(
+                beta, r, p, hp, hn, diag=op.diag, offdiag=op.offdiag)
+            pap = jax.lax.psum(pap_local, axis)
+            alpha = (rr / pap).astype(x.dtype)
+            x, r, rr_local = cg_const_update_recompute_pipelined(
+                alpha, x, r, pnew, hp, hn, diag=op.diag, offdiag=op.offdiag)
+            rr_new = jax.lax.psum(rr_local, axis)
+            return x, r, pnew, rr_new, rr, k + 1
+
+        if recompute:
+            def rcond(state):
+                return jnp.logical_and(state[5] < max_iters, state[3] > tol2)
+
+            rstate0 = (jnp.zeros_like(b_l), r0, jnp.zeros_like(r0), rr0,
+                       jnp.ones_like(rr0), jnp.zeros((), jnp.int32))
+            x, r, p, rr, _rrp, k = jax.lax.while_loop(rcond, step_recompute, rstate0)
+        else:
+            state0 = (jnp.zeros_like(b_l), r0, r0, rr0, jnp.zeros((), jnp.int32))
+            x, r, p, rr, k = jax.lax.while_loop(cond, step, state0)
         # pack the result scalars in ≥f32 (k exactness; bf16 would corrupt k > 256):
         # ONE device→host transfer in the caller (see cg.py)
         sdt = rr.dtype if rr.dtype in (jnp.float32, jnp.float64) else jnp.float32
@@ -484,8 +520,14 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
                      tolerance: float = 1e-6, max_iters: int = 1000, dtype=jnp.float32,
                      overlap: bool = True, config: Optional[CGConfig] = None,
                      use_pallas_blas1: Optional[bool] = None,
-                     operator: Optional[ShardedOperator] = None):
+                     operator: Optional[ShardedOperator] = None,
+                     recompute_ap: Optional[bool] = None):
     """Full sharded CG solve over the mesh.  Returns (x, CGStats).
+
+    ``recompute_ap``: the 8-words/pt two-pass iteration for ``mode="stencil5-const"``
+    (same auto semantics as cg.cg_solve: None → on when the mode supports it).  Comm
+    volume is unchanged — the p' boundary rows are computed locally and exchanged as
+    the per-iteration halo, exactly one row per neighbor like the classic loop.
 
     ``x`` is the (g, g) solution as a row-band-sharded ``jax.Array`` — EXCEPT when the grid
     does not divide the device count (``op.row_pad > 0``): slicing the padded tail off a
@@ -503,8 +545,13 @@ def cg_solve_sharded(mesh: Mesh, grid_size: int, *, b=None, mode: str = "stencil
         offdiag=offdiag, dtype=dtype, overlap=overlap,
     )
     synth_b = b is None
+    recomp = op.mode == "stencil5-const" if recompute_ap is None else bool(recompute_ap)
+    if recomp and op.mode != "stencil5-const":
+        raise ValueError("recompute_ap: only mode='stencil5-const' provides the "
+                         "recompute passes in the sharded solver")
     solve = _build_sharded_solver(op, max_iters, float(tolerance),
-                                  _resolve_blas1(use_pallas_blas1), synth_b=synth_b)
+                                  _resolve_blas1(use_pallas_blas1), synth_b=synth_b,
+                                  recompute=recomp)
     operands_arg = op.operands_arg
     if synth_b:
         t0 = time.perf_counter()
