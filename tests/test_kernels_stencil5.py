@@ -321,7 +321,7 @@ def test_const_operator_fused_cg_parity():
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=1e-10)
 
 
-@pytest.mark.parametrize("g", [13, 16, 24])
+@pytest.mark.parametrize("g", [5, 13, 16, 24])
 @pytest.mark.parametrize("beta", [0.0, 0.7])
 def test_const_pupdate_dot_pipelined(g, beta):
     """Recompute pass A: (p', <p',A·p'>) with A·p' never materialized ≡ the separate
@@ -342,7 +342,7 @@ def test_const_pupdate_dot_pipelined(g, beta):
     np.testing.assert_allclose(float(pap), float(pnew_ref @ y_ref), rtol=1e-12)
 
 
-@pytest.mark.parametrize("g", [13, 16, 24])
+@pytest.mark.parametrize("g", [5, 13, 16, 24])
 def test_const_update_recompute_pipelined(g):
     """Recompute pass B: (x', r', <r',r'>) with A·p recomputed from the p stream ≡
     manual x + α·p, r − α·(dense @ p)."""
