@@ -34,6 +34,10 @@ ABSENT = {
     # analysis); the vectorized affine pack closed it — measured row since round 4.
     ("csr", 20480): "operand > HBM: packed ELL cols+vals = 5·n·(4+4) B = 16.8 GB vs "
                     "15.75 GB usable HBM (measured OOM at pack upload)",
+    ("stencil5-xla", 20480): "measured OOM (round-5 campaign, RESOURCE_EXHAUSTED in "
+                             "/tmp/r5a_sxla20480.log): f32 planes 8.4 GB + x/y 3.4 GB + "
+                             "the XLA shifted-pads formulation's materialized neighbor "
+                             "temps exceed 15.75 GB HBM; the Pallas rows cover 20480²",
     ("csr-xla", 4096): _CSRXLA_OOM,
     ("csr-xla", 10240): _CSRXLA_OOM,
     ("csr-xla", 15360): "see 4096 row (OOM grows with n)",
