@@ -48,25 +48,29 @@ def _sync(tree):
     return float(jnp.sum(leaves[0].ravel()[:1]))
 
 
-def chain_slope_ms(step, carry0, k_lo=4, k_hi=16, reps=3):
-    """Per-apply ms of ``carry' = step(carry)`` via paired-chain differencing inside one
-    jitted program (fusion fence between applies — see ops.DeviceOperator._chain_program)."""
+def chain_slope_ms(step, carry0, consts=(), k_lo=4, k_hi=16, reps=3):
+    """Per-apply ms of ``carry' = step(carry, consts)`` via paired-chain differencing
+    inside one jitted program (fusion fence between applies — see
+    ops.DeviceOperator._chain_program).  ``consts`` are the loop-invariant device fields
+    the step reads — passed as JIT ARGUMENTS, never closed over (a closed-over (g, g)
+    field becomes a 1.68 GB inline constant at 20480² and kills the remote compile —
+    the operator-registry invariant, ops._wrap_ops)."""
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def prog(carry, k):
+    def prog(carry, consts, k):
         for _ in range(k):
-            carry = step(carry)
+            carry = step(carry, consts)
             carry = jax.lax.optimization_barrier(carry)
         return carry
 
-    _sync(prog(carry0, k=k_lo))  # compile + warm
-    _sync(prog(carry0, k=k_hi))
+    _sync(prog(carry0, consts, k=k_lo))  # compile + warm
+    _sync(prog(carry0, consts, k=k_hi))
 
     def best(k):
         b = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            _sync(prog(carry0, k=k))
+            _sync(prog(carry0, consts, k=k))
             b = min(b, time.perf_counter() - t0)
         return b
 
@@ -119,7 +123,7 @@ def main():
     phases = {}
 
     # --- classic loop phases ---
-    def spmv_dot_step(carry):
+    def spmv_dot_step(carry, _c):
         p, _s = carry
         # pap rides the carry (a jit OUTPUT, so never DCE'd) — folding it into the field
         # would add a full extra elementwise pass and corrupt the 2-word measurement
@@ -129,41 +133,46 @@ def main():
         spmv_dot_step, (p0, jnp.float32(0.0)), reps=args.reps)}
     print(f"[audit] spmv_dot: {phases['spmv_dot']['ms']:.2f} ms", file=sys.stderr)
 
-    def update_step(carry):
+    def update_step(carry, consts):
         x, r, rr = carry
+        pc, apc = consts
         alpha = (0.5 + rr * 1e-30).astype(dt)  # scalar dependency chains the passes
-        x = x + alpha * p0
-        r = r - alpha * r_const  # r_const stands in for Ap (same traffic)
+        x = x + alpha * pc
+        r = r - alpha * apc  # apc stands in for Ap (same traffic)
         rr = jnp.vdot(r, r)
         return x, r, rr
 
     phases["update"] = {"words_pt": 6, "ms": chain_slope_ms(
-        update_step, (mk(2), mk(3), jnp.float32(1.0)), reps=args.reps)}
+        update_step, (mk(2), mk(3), jnp.float32(1.0)), (p0, r_const),
+        reps=args.reps)}
     print(f"[audit] update: {phases['update']['ms']:.2f} ms", file=sys.stderr)
 
-    def pupdate_step(p):
-        return r_const + jnp.float32(0.5) * p
+    def pupdate_step(p, consts):
+        (rc,) = consts
+        return rc + jnp.float32(0.5) * p
 
-    phases["p_update"] = {"words_pt": 3, "ms": chain_slope_ms(pupdate_step, p0,
-                                                              reps=args.reps)}
+    phases["p_update"] = {"words_pt": 3, "ms": chain_slope_ms(
+        pupdate_step, p0, (r_const,), reps=args.reps)}
     print(f"[audit] p_update: {phases['p_update']['ms']:.2f} ms", file=sys.stderr)
 
     # --- recompute loop phases ---
-    def pass_a_step(carry):
+    def pass_a_step(carry, consts):
         p, s = carry
-        pnew, pap = pupd_dot((0.5 + s * 1e-30).astype(dt), r_const, p, operands)
+        (rc,) = consts
+        pnew, pap = pupd_dot((0.5 + s * 1e-30).astype(dt), rc, p, operands)
         return pnew, pap
 
     phases["recompute_pass_a"] = {"words_pt": 3, "ms": chain_slope_ms(
-        pass_a_step, (p0, jnp.float32(1.0)), reps=args.reps)}
+        pass_a_step, (p0, jnp.float32(1.0)), (r_const,), reps=args.reps)}
     print(f"[audit] pass A: {phases['recompute_pass_a']['ms']:.2f} ms", file=sys.stderr)
 
-    def pass_b_step(carry):
+    def pass_b_step(carry, consts):
         x, r, rr = carry
-        return upd_rec((0.5 + rr * 1e-30).astype(dt), x, r, p0, operands)
+        (pc,) = consts
+        return upd_rec((0.5 + rr * 1e-30).astype(dt), x, r, pc, operands)
 
     phases["recompute_pass_b"] = {"words_pt": 5, "ms": chain_slope_ms(
-        pass_b_step, (mk(2), mk(3), jnp.float32(1.0)), reps=args.reps)}
+        pass_b_step, (mk(2), mk(3), jnp.float32(1.0)), (p0,), reps=args.reps)}
     print(f"[audit] pass B: {phases['recompute_pass_b']['ms']:.2f} ms", file=sys.stderr)
 
     for v in phases.values():

@@ -871,7 +871,12 @@ def spmv_stencil5_const_pupdate_dot_pipelined(beta, r, p, halo_prev=None, halo_n
         halo_prev = jnp.zeros((1, g), r.dtype)
     if halo_next is None:
         halo_next = jnp.zeros((1, g), r.dtype)
-    bg = block_rows or _pick_block_rows_const_pipe(g)
+    # pass A streams 2 in + 1 out (double-buffered) + 2 carried scratch slabs — the
+    # same VMEM class as the materializing pupd kernel, whose 320K chooser is the
+    # measured compile boundary under the default 16 MB scoped limit.  An explicit
+    # CompilerParams(vmem_limit_bytes=...) is NOT usable here: this deployment's
+    # remote-compile path hangs on it (measured round 5: >20 min vs 0.9 s without).
+    bg = block_rows or _pick_block_rows_const_pupd(g)
     bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
     ni = pl.cdiv(rows, bg)
     if ni < 2:
@@ -914,7 +919,6 @@ def spmv_stencil5_const_pupdate_dot_pipelined(beta, r, p, halo_prev=None, halo_n
                 pltpu.VMEM((bg, g), r.dtype),  # prev_p
                 pltpu.VMEM((1, g), r.dtype),  # previous slab's last p' row
             ],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
             cost_estimate=pl.CostEstimate(
                 flops=11 * rows * g,
                 bytes_accessed=3 * rows * g * r.dtype.itemsize,
@@ -923,6 +927,16 @@ def spmv_stencil5_const_pupdate_dot_pipelined(beta, r, p, halo_prev=None, halo_n
             interpret=interpret,
         )(b2, r, p, halo_prev, halo_next)
     return pnew, dot[0, 0]
+
+
+def _pick_block_rows_const_upd_recomp(g: int) -> int:
+    """Slab height for pass B (update + recomputed A·p): 3 inputs + 2 outputs double-
+    buffered + 3 carried scratch slabs ≈ 13 slab-equivalents of bg·g f32 per step —
+    224K elements/slab keeps the footprint in the materializing-pupd kernel's measured
+    compile envelope under the default 16 MB scoped-VMEM limit (raising the limit via
+    CompilerParams hangs this deployment's remote compiler — see pass A's chooser)."""
+    bg = max(8, min(256, 224_000 // max(g, 1)))
+    return int(bg - (bg % 8)) or 8
 
 
 def _stencil5_const_upd_recomp_pipe_kernel(alpha_ref, xm_ref, rm_ref, pm_ref, hprev_ref,
@@ -1003,7 +1017,7 @@ def cg_const_update_recompute_pipelined(alpha, x, r, p, halo_prev=None, halo_nex
         halo_prev = jnp.zeros((1, g), r.dtype)
     if halo_next is None:
         halo_next = jnp.zeros((1, g), r.dtype)
-    bg = block_rows or _pick_block_rows_const_pipe(g)
+    bg = block_rows or _pick_block_rows_const_upd_recomp(g)
     bg = min(bg, max(8, rows - rows % 8) if rows >= 8 else rows)
     ni = pl.cdiv(rows, bg)
     if ni < 2:
@@ -1049,7 +1063,6 @@ def cg_const_update_recompute_pipelined(alpha, x, r, p, halo_prev=None, halo_nex
                 pltpu.VMEM((bg, g), r.dtype),  # prev_p
                 pltpu.VMEM((1, g), r.dtype),  # slab i-2's last p row
             ],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
             cost_estimate=pl.CostEstimate(
                 flops=13 * rows * g,
                 bytes_accessed=5 * rows * g * r.dtype.itemsize,
