@@ -166,6 +166,11 @@ def main():
         pass_a_step, (p0, jnp.float32(1.0)), (r_const,), reps=args.reps)}
     print(f"[audit] pass A: {phases['recompute_pass_a']['ms']:.2f} ms", file=sys.stderr)
 
+    # pass B's chain holds 5 live (g, g) fields (p0 const + x/r in + x/r out) — at
+    # 20480² that is 8.4 GB; every other field must be freed first or the 16 GB chip
+    # ResourceExhausts (measured in the round-5 campaign's first audit run)
+    del r_const
+
     def pass_b_step(carry, consts):
         x, r, rr = carry
         (pc,) = consts
@@ -178,7 +183,7 @@ def main():
     for v in phases.values():
         v["gbs"] = words(v["words_pt"]) / (v["ms"] / 1e3)
 
-    del p0, r_const
+    del p0
     # --- full solves (b = ones synthesized in-graph) + fixed overhead ---
     b_sds = jax.ShapeDtypeStruct((g, g), dt)
     fixed_ms, _, _ = timed_solve(op, b_sds, cg.CGConfig(max_iters=0), False,
