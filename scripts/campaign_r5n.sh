@@ -1,0 +1,59 @@
+#!/bin/bash
+# Round-5 campaign, part N: audits with the carry-alias fix, f64 anchor, remaining rows.
+set -x
+cd /root/repo
+CEIL=docs/results/ceiling_probe_tpu_v5_lite.json
+STATUS=/tmp/r5n_status.txt
+: > $STATUS
+log_rc() { echo "$1 rc=$2" >> $STATUS; }
+
+timeout 3000 python -u scripts/audit_cg_iteration.py --grid 10240 \
+  > /tmp/r5n_audit10240.log 2>&1
+log_rc audit10240 $?
+timeout 4000 python -u scripts/audit_cg_iteration.py --grid 20480 \
+  > /tmp/r5n_audit20480.log 2>&1
+log_rc audit20480 $?
+
+F64_DONE=0
+for g in 18432 17408 16384 15360 14336; do
+  if [ "$F64_DONE" = "0" ]; then
+    timeout 3000 python -u -m tpusparse.cli.cg_solver gen:$g --dtype=f64 \
+      --mode=stencil5-const-xla --runs=3 --warmup=1 \
+      --json=docs/results/cg_${g}_f64_constxla_v5e.json \
+      > /tmp/r5n_f64cg_${g}.log 2>&1
+    rc=$?
+    log_rc f64cg_$g $rc
+    [ $rc -eq 0 ] && F64_DONE=$g
+  fi
+done
+
+timeout 3600 python -u -m tpusparse.cli.spmv_bench gen:2048 \
+  --mode=stencil5,stencil5-bf16c,stencil5-const,stencil5-xla,stencil5-const-xla,dia,dia-xla,csr \
+  --resident-x --ceiling-from=$CEIL --json=docs/results/spmv_2048_v5e.json \
+  > /tmp/r5n_remeasure_2048.log 2>&1
+log_rc remeasure_2048 $?
+
+timeout 3600 python -u -m tpusparse.cli.cg_solver gen:20480 --mode=stencil5-const \
+  --runs=10 --warmup=3 --json=docs/results/cg_20480_const_v5e.json \
+  > /tmp/r5n_cg20480.log 2>&1
+log_rc cg20480 $?
+timeout 2400 python -u -m tpusparse.cli.cg_solver gen:23552 --mode=stencil5-const \
+  --runs=3 --warmup=1 --json=docs/results/cg_23552_const_v5e.json \
+  > /tmp/r5n_cg23552.log 2>&1
+log_rc cg23552 $?
+
+timeout 3000 python -u -m tpusparse.cli.spmv_bench gen:10240 --mode=bcoo \
+  --runs=3 --warmup=1 --resident-x --ceiling-from=$CEIL \
+  --json=docs/results/spmv_10240_v5e.json > /tmp/r5n_bcoo10240.log 2>&1
+log_rc bcoo10240 $?
+timeout 3000 python -u -m tpusparse.cli.spmv_bench gen:15360 --mode=dia-xla \
+  --resident-x --ceiling-from=$CEIL --json=docs/results/spmv_15360_v5e.json \
+  > /tmp/r5n_diaxla15360.log 2>&1
+log_rc diaxla15360 $?
+timeout 3600 python -u -m tpusparse.cli.spmv_bench gen:20480 --mode=dia-xla \
+  --resident-x --ceiling-from=$CEIL --json=docs/results/spmv_20480_v5e.json \
+  > /tmp/r5n_diaxla20480.log 2>&1
+log_rc diaxla20480 $?
+
+echo ALL_STAGES_DONE_R5N
+cat $STATUS
