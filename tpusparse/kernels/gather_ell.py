@@ -46,6 +46,22 @@ Design space explored (measured on v5e, g=2048-10240; kept for the next optimize
     traffic.  This is the pack-time structure measurement taken to its limit: cuSPARSE's
     adaptive binning analog discovering that a "generic" matrix is secretly DIA, slot by
     slot, while arbitrary slots in the same matrix keep the ladder.
+  - ROT measured (round 5, after the even-grid probe fix): 10240² 22.27 → 14.85 ms,
+    15360² 30.08 ms, 20480² 60.85 ms (the row the ladder could never fit — vals-only
+    operand 8.4 GB).  Cumulative over the round-3 ladder: 2.27× at 10240².  The
+    remaining gap to the byte floor is the per-(block, slot) x-window DMA overfetch
+    (swin·128 window elements per slot vs one x read — ~5.3× the field at 10240², all
+    counted in the honest byte model), not VPU work.
+  - MXU ONE-HOT formulation (the round-4 review's remaining candidate): REJECTED by
+    arithmetic, not taste.  Expressing the per-(subtile, slot) window gather as a matmul
+    g = M·vec(win) needs a (1024 × swin·128) selection matrix M; M IS the index
+    information in dense one-hot form — ≥2 MB per (subtile, slot) in bf16 where the
+    packed loc plane is 4 KB, a ≥500× INDEX-TRAFFIC inflation that must stream from HBM
+    (generating M on-VPU from loc is the same compare/select work as the ladder it
+    would replace).  The kernel is HBM-bound; multiplying its dominant traffic term by
+    500× cannot win.  An implicit (structured) M needs the columns to follow a known
+    pattern — exactly the structure the affine/rot packs already exploit with ZERO
+    index traffic.  The MXU helps matmul-shaped reuse; a gather has none.
 """
 
 from __future__ import annotations
