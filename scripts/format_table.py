@@ -31,9 +31,8 @@ _CSRXLA_OOM = ("measured OOM: XLA tile-pads the [n,5] ELL gather operand to T(8,
                "measured through 2560")
 ABSENT = {
     # (csr, 15360) was pack-time bound for the LADDER pack (>1 h of per-row host
-    # analysis); the vectorized affine pack closed it — measured row since round 4.
-    ("csr", 20480): "operand > HBM: packed ELL cols+vals = 5·n·(4+4) B = 16.8 GB vs "
-                    "15.75 GB usable HBM (measured OOM at pack upload)",
+    # analysis); the vectorized affine pack closed it (round 4) and the rot pack's
+    # vals-only operand closed (csr, 20480) in round 5 — both are measured rows now.
     ("stencil5-xla", 20480): "measured OOM (round-5 campaign, RESOURCE_EXHAUSTED in "
                              "/tmp/r5a_sxla20480.log): f32 planes 8.4 GB + x/y 3.4 GB + "
                              "the XLA shifted-pads formulation's materialized neighbor "
