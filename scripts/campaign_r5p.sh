@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-5 campaign, part P: f64 anchor via the host-stepped loop.
+# The fused f64-emulated while-loop is COMPILE-bound on this deployment above 10240²
+# (measured: 18432 spent 50 min and 16384 70 min inside XLA remote compilation without
+# finishing — /tmp/r5n_f64cg_18432.log, /tmp/r5o_f64cg_16384.log, rc=124 both).  The
+# stepped loop compiles one small program per phase instead, trading per-iteration sync
+# overhead (irrelevant against ~80 s f64 solves) for tractable compiles — the same
+# de-fuse trade the reference's --timers mode makes.
+set -x
+cd /root/repo
+STATUS=/tmp/r5p_status.txt
+: > $STATUS
+log_rc() { echo "$1 rc=$2" >> $STATUS; }
+
+timeout 4200 python -u -m tpusparse.cli.cg_solver gen:16384 --dtype=f64 \
+  --mode=stencil5-const-xla --timers --runs=3 --warmup=1 \
+  --json=docs/results/cg_16384_f64_constxla_stepped_v5e.json \
+  > /tmp/r5p_f64cg_16384_stepped.log 2>&1
+log_rc f64cg_16384_stepped $?
+
+# fused-loop depth probe one step above the known-good 10240 (bounded)
+timeout 2700 python -u -m tpusparse.cli.cg_solver gen:12288 --dtype=f64 \
+  --mode=stencil5-const-xla --runs=3 --warmup=1 \
+  --json=docs/results/cg_12288_f64_constxla_v5e.json \
+  > /tmp/r5p_f64cg_12288.log 2>&1
+log_rc f64cg_12288 $?
+
+echo ALL_STAGES_DONE_R5P
+cat $STATUS
