@@ -163,7 +163,7 @@ def main(argv=None) -> int:
             diag=diag, offdiag=offdiag, dtype=dtype,
         )
 
-    def run_solve():
+    def run_solve(keep_x: bool = False):
         t0 = time.perf_counter()
         if mesh2d:
             solve2d = (cg_sharded.cg_solve_sharded_2d_stepped if args.timers
@@ -183,11 +183,19 @@ def main(argv=None) -> int:
                 dtype=dtype, operator=op,
             )
         ms = (time.perf_counter() - t0) * 1e3
+        if not keep_x:
+            # benchmark_solver_with_stats retains every run's payload until the median
+            # run is known — a sharded device x per payload accumulates runs × field
+            # bytes (see cli/cg_solver.py run_solve, the measured 20480² OOM)
+            del x
+            return ms, (None, st)
         return ms, (x, st)
 
-    bench, (x, cg_stats) = stats.benchmark_solver_with_stats(
+    bench, (_nox, cg_stats) = stats.benchmark_solver_with_stats(
         run_solve, num_runs=args.runs, warmup=args.warmup
     )
+    # deterministic solve: one extra run supplies the checksummed solution
+    _, (x, _st) = run_solve(keep_x=True)
 
     # MEASURED multi-process rank timing (reference MPI_Barrier → solve → MPI_Reduce
     # MAX/MIN of rank timers, cg_solver_mgpu_partitioned.cu:405, 749-800): one extra
