@@ -12,6 +12,13 @@ STATUS=/tmp/r5p_status.txt
 : > $STATUS
 log_rc() { echo "$1 rc=$2" >> $STATUS; }
 
+# cg@20480 rerun with the payload fix (part O's --runs=10 hit the payload-accumulation
+# OOM the fix removes; the recompute loop itself is proven at this size by the audit)
+timeout 3600 python -u -m tpusparse.cli.cg_solver gen:20480 --mode=stencil5-const \
+  --runs=10 --warmup=3 --json=docs/results/cg_20480_const_v5e.json \
+  > /tmp/r5p_cg20480.log 2>&1
+log_rc cg20480 $?
+
 timeout 4200 python -u -m tpusparse.cli.cg_solver gen:16384 --dtype=f64 \
   --mode=stencil5-const-xla --timers --runs=3 --warmup=1 \
   --json=docs/results/cg_16384_f64_constxla_stepped_v5e.json \
