@@ -41,10 +41,13 @@ ABSENT = {
     ("csr-xla", 10240): _CSRXLA_OOM,
     ("csr-xla", 15360): "see 4096 row (OOM grows with n)",
     ("csr-xla", 20480): "see 4096 row (OOM grows with n)",
-    ("bcoo", 15360): "~24 s/apply extrapolated (1.72 s at 4096², linear in nnz); "
-                     "measured through 4096 committed (10240 attempt in round-5 "
-                     "campaign); CG head-to-head at 4096 in GENERIC_COMPARISON.md",
-    ("bcoo", 20480): "see 15360 row; additionally nnz·(4+8) B of BCOO index+value "
+    ("bcoo", 10240): "measured compiler failure (round-5 campaign, "
+                     "/tmp/r5o_bcoo10240.log): the XLA TPU compiler SIGSEGVs building "
+                     "the 524M-nnz BCOO matvec program; measured through 4096 "
+                     "(1.72 s/apply there, linear in nnz)",
+    ("bcoo", 15360): "see 10240 row (compiler failure at smaller nnz); CG head-to-head "
+                     "at 4096 in GENERIC_COMPARISON.md",
+    ("bcoo", 20480): "see 10240 row; additionally nnz·(4+8) B of BCOO index+value "
                      "device arrays = 25 GB > 15.75 GB HBM",
     ("dia-xla", 15360): "oracle role only (validates the Pallas DIA kernel); measured "
                         "through 10240",
