@@ -49,9 +49,9 @@ ABSENT = {
                      "at 4096 in GENERIC_COMPARISON.md",
     ("bcoo", 20480): "see 10240 row; additionally nnz·(4+8) B of BCOO index+value "
                      "device arrays = 25 GB > 15.75 GB HBM",
-    ("dia-xla", 15360): "oracle role only (validates the Pallas DIA kernel); measured "
-                        "through 10240",
-    ("dia-xla", 20480): "oracle role only; measured through 10240",
+    ("dia-xla", 20480): "measured compiler failure (round-5 campaign, "
+                        "/tmp/r5o_diaxla20480.log: tpu_compile_helper exit 1); oracle "
+                        "role covered by measured rows through 15360",
 }
 
 
