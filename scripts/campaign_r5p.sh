@@ -19,6 +19,17 @@ timeout 3600 python -u -m tpusparse.cli.cg_solver gen:20480 --mode=stencil5-cons
   > /tmp/r5p_cg20480.log 2>&1
 log_rc cg20480 $?
 
+# const CG rows at the remaining benchmark sizes (the recompute loop's full
+# problem-size story; 10240's program is already compile-cached from the audit)
+timeout 2400 python -u -m tpusparse.cli.cg_solver gen:15360 --mode=stencil5-const \
+  --runs=10 --warmup=3 --json=docs/results/cg_15360_const_v5e.json \
+  > /tmp/r5p_cg15360.log 2>&1
+log_rc cg15360 $?
+timeout 2400 python -u -m tpusparse.cli.cg_solver gen:10240 --mode=stencil5-const \
+  --runs=10 --warmup=3 --json=docs/results/cg_10240_const_v5e.json \
+  > /tmp/r5p_cg10240.log 2>&1
+log_rc cg10240 $?
+
 timeout 4200 python -u -m tpusparse.cli.cg_solver gen:16384 --dtype=f64 \
   --mode=stencil5-const-xla --timers --runs=3 --warmup=1 \
   --json=docs/results/cg_16384_f64_constxla_stepped_v5e.json \
