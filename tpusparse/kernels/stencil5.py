@@ -919,6 +919,14 @@ def spmv_stencil5_const_pupdate_dot_pipelined(beta, r, p, halo_prev=None, halo_n
                 pltpu.VMEM((bg, g), r.dtype),  # prev_p
                 pltpu.VMEM((1, g), r.dtype),  # previous slab's last p' row
             ],
+            # p' writes INTO p's buffer (input 2 → output 0): p is dead after this pass
+            # in the CG iteration, and the in-place write is what lets the while-loop
+            # carry alias instead of copying the Pallas output back into the carry slot
+            # — measured 3.8 ms/iter of phantom copy traffic at 10240² without it
+            # (audit closure 57% → the three carried fields re-copied each iteration).
+            # Safe under the delay-by-one pipeline: slab j's write happens at step j+1
+            # while reads have advanced to slab j+1/j+2 (≥1-slab gap throughout).
+            input_output_aliases={2: 0},
             cost_estimate=pl.CostEstimate(
                 flops=11 * rows * g,
                 bytes_accessed=3 * rows * g * r.dtype.itemsize,
@@ -1063,6 +1071,10 @@ def cg_const_update_recompute_pipelined(alpha, x, r, p, halo_prev=None, halo_nex
                 pltpu.VMEM((bg, g), r.dtype),  # prev_p
                 pltpu.VMEM((1, g), r.dtype),  # slab i-2's last p row
             ],
+            # x' and r' write INTO x's and r's buffers (inputs 1, 2 → outputs 0, 1):
+            # both are dead after this pass in the CG iteration — see pass A's aliasing
+            # note (the while-carry copy elision this enables is the measured win).
+            input_output_aliases={1: 0, 2: 1},
             cost_estimate=pl.CostEstimate(
                 flops=13 * rows * g,
                 bytes_accessed=5 * rows * g * r.dtype.itemsize,
