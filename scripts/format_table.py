@@ -165,10 +165,13 @@ def write_generic_comparison(rows, results_dir, path):
                 f" = {100 * sr['frac_ach']:.1f}% of the measured ceiling"
                 if sr.get("frac_ach") else "")
         unk = g * g / 1e6
+        # a sub-knee stencil time is an on-chip figure; the speedup against the
+        # HBM-bound gather inherits the caveat and carries the dagger too
+        speed = f"**{c / s:.1f}×**" + ("†" if sr["flags"] else "")
         lines.append(
             f"| **{g}²** ({unk:.1f}M unknowns) | {_fmt_ms(c)}"
             + (f" ({cv} pack)" if cv else "")
-            + f" | {_fmt_ms(s)} | **{c / s:.1f}×** | {bw} |")
+            + f" | {_fmt_ms(s)} | {speed} | {bw} |")
     if flagged:
         lines += ["",
                   "† working set below the measured on-chip residency knee (128 MiB): "
