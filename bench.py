@@ -36,9 +36,10 @@ def bench_cg_20k() -> dict:
     if jax.default_backend() == "cpu":
         raise RuntimeError("cg20k child must run on the accelerator, got cpu backend")
     g = 20480
-    # values-free operator: no plane array at all — the whole solve footprint is the four
-    # (g, g) f32 state fields (~6.7 GB); measured fastest of the 20k modes (480 vs 500 ms
-    # bf16c) and structurally OOM-proof
+    # values-free operator: no plane array at all — the whole solve footprint is the
+    # three carried (g, g) f32 state fields (~5 GB with the recompute loop's in-place
+    # passes); measured fastest of the 20k modes (334.4 vs 489.5 ms bf16c, round 5) and
+    # structurally OOM-proof
     st = Stencil5(grid_size=g, planes=None, constant=(5.0, -1.0))
     op = ops.get_operator("stencil5-const", st)
     del st
