@@ -275,6 +275,7 @@ class TestAffineVariant:
         sum_ref, _ = generate.stencil5_spmv_checksums(g)
         np.testing.assert_allclose(y.sum(), sum_ref, rtol=1e-12)
 
+    @_f64_kernels
     def test_rot_mixed_with_ladder_slot(self):
         """A diagonal slot and a random-banded slot coexist: rot for one, ladder for the
         other, loc carries only the ladder slot, result exact."""

@@ -19,6 +19,12 @@ from tpusparse.kernels.stencil5 import (
 
 from . import fixtures
 
+_f64_kernels = pytest.mark.skipif(
+    __import__("jax").default_backend() != "cpu",
+    reason="f64 Pallas kernels are CPU/interpret-only (Mosaic has no f64)",
+)
+
+
 GRIDS = [1, 2, 3, 5, 8, 13, 16, 31]
 
 
@@ -306,6 +312,7 @@ def test_const_pupdate_pipelined(g, beta):
     np.testing.assert_allclose(float(pap), float(pnew_ref @ y_ref), rtol=1e-12)
 
 
+@_f64_kernels
 def test_const_operator_fused_cg_parity():
     """CG through the const operator with fused_pupdate=True ≡ fused_pupdate=False."""
     from tpusparse import ops
@@ -367,6 +374,7 @@ def test_const_update_recompute_pipelined(g):
 
 
 @pytest.mark.parametrize("g", [13, 16])
+@_f64_kernels
 def test_const_operator_recompute_cg_parity(g):
     """CG through the recompute-Ap loop (the stencil5-const AUTO default) ≡ the classic
     3-pass loop: identical iteration count, matching solution."""
